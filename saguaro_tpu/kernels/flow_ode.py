@@ -1,0 +1,209 @@
+"""Flow-following mask recovery — the Cellpose dynamics, XLA/TPU-native.
+
+Replaces the mask-recovery stage of the reference's Cellpose engine
+(SURVEY.md E1): pixels above the cell-probability threshold are advected
+along the predicted flow field for a fixed number of Euler steps with
+bilinear flow interpolation; converged positions are histogrammed, local
+maxima become seeds, and labels are propagated back to the originating
+pixels.
+
+Everything is static-shaped: all H*W pixels integrate every step (inactive
+pixels carry zero flow), the histogram is a segment-sum, seed detection is
+a 5x5 max-pool, and label assignment is a fixed number of 3x3 max-propagation
+sweeps over the high-density region — no data-dependent control flow, so the
+whole recovery jits into one XLA program per image shape.
+
+Consecutive relabeling and optional hole-filling are tiny host-side
+post-passes (they are inherently dynamic and cost microseconds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "follow_flows",
+    "masks_from_flows",
+    "compute_masks",
+    "centroid_flows",
+    "flow_qc_error",
+    "relabel_consecutive",
+]
+
+
+def _bilinear(field: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """Bilinear sample of (H, W) field at float positions (N,)."""
+    h, w = field.shape
+    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = py - y0
+    wx = px - x0
+    flat = field.reshape(-1)
+    idx = lambda yy, xx: (yy * w + xx).astype(jnp.int32)
+    f00 = jnp.take(flat, idx(y0, x0))
+    f01 = jnp.take(flat, idx(y0, x1))
+    f10 = jnp.take(flat, idx(y1, x0))
+    f11 = jnp.take(flat, idx(y1, x1))
+    return (
+        f00 * (1 - wy) * (1 - wx)
+        + f01 * (1 - wy) * wx
+        + f10 * wy * (1 - wx)
+        + f11 * wy * wx
+    )
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def follow_flows(flows: jax.Array, active: jax.Array, n_iters: int = 200) -> jax.Array:
+    """Integrate pixel positions along the flow field.
+
+    flows: (2, H, W) [dy, dx] pointing toward cell centers (unit-scale);
+    active: (H, W) bool — pixels to advect (inactive pixels don't move).
+    Returns final positions (2, H, W) float32.
+    """
+    h, w = flows.shape[1:]
+    fy = jnp.where(active, flows[0], 0.0).astype(jnp.float32)
+    fx = jnp.where(active, flows[1], 0.0).astype(jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    p0 = jnp.stack([yy.reshape(-1), xx.reshape(-1)])
+
+    def step(_, p):
+        dy = _bilinear(fy, p[0], p[1])
+        dx = _bilinear(fx, p[0], p[1])
+        py = jnp.clip(p[0] + dy, 0.0, h - 1.0)
+        px = jnp.clip(p[1] + dx, 0.0, w - 1.0)
+        return jnp.stack([py, px])
+
+    p = jax.lax.fori_loop(0, n_iters, step, p0)
+    return p.reshape(2, h, w)
+
+
+def _maxpool2d(x: jax.Array, k: int) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+
+
+@partial(jax.jit, static_argnames=("seed_threshold", "expand_iters"))
+def masks_from_flows(
+    positions: jax.Array,
+    active: jax.Array,
+    seed_threshold: float = 10.0,
+    expand_iters: int = 5,
+) -> jax.Array:
+    """Cluster converged positions into an int32 label image.
+
+    positions: (2, H, W) final advected coordinates; active: (H, W) bool.
+    Labels are the (linear-index + 1) of the seed histogram cell — call
+    relabel_consecutive() on the host for compact ids.
+    """
+    h, w = active.shape
+    py = jnp.clip(jnp.round(positions[0]), 0, h - 1).astype(jnp.int32)
+    px = jnp.clip(jnp.round(positions[1]), 0, w - 1).astype(jnp.int32)
+    flat = (py * w + px).reshape(-1)
+    ones = active.reshape(-1).astype(jnp.float32)
+    hist = jax.ops.segment_sum(ones, flat, num_segments=h * w).reshape(h, w)
+
+    hmax = _maxpool2d(hist, 5)
+    seeds = (hist >= hmax) & (hist > seed_threshold)
+
+    lin = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    labels = jnp.where(seeds, lin, 0)
+
+    # Geodesic max-propagation of seed labels over the dense region.
+    grow = hist > 2.0
+    def expand(_, lab):
+        neigh = _maxpool2d(lab.astype(jnp.float32), 3).astype(jnp.int32)
+        return jnp.where(grow & (lab == 0), neigh, lab)
+
+    labels = jax.lax.fori_loop(0, expand_iters, expand, labels)
+
+    # Map every active pixel through its converged position.
+    pixel_labels = jnp.take(labels.reshape(-1), flat).reshape(h, w)
+    return jnp.where(active, pixel_labels, 0)
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def flow_qc_error(
+    labels: jax.Array, flows: jax.Array, max_cells: int = 4096
+) -> tuple[jax.Array, jax.Array]:
+    """Per-label mean squared deviation between predicted flows and the
+    centroid-pointing unit flow of the recovered mask (cellpose's flow-error
+    QC, simplified to the centroid field). Returns (errors (max_cells,),
+    counts (max_cells,)) indexed by a host-side compact relabeling.
+    """
+    h, w = labels.shape
+    seg = labels.reshape(-1).astype(jnp.int32) % max_cells
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    valid = (labels > 0).reshape(-1).astype(jnp.float32)
+    cnt = jax.ops.segment_sum(valid, seg, num_segments=max_cells)
+    cy = jax.ops.segment_sum(yy.reshape(-1) * valid, seg, num_segments=max_cells) / jnp.maximum(cnt, 1)
+    cx = jax.ops.segment_sum(xx.reshape(-1) * valid, seg, num_segments=max_cells) / jnp.maximum(cnt, 1)
+    dy = jnp.take(cy, seg) - yy.reshape(-1)
+    dx = jnp.take(cx, seg) - xx.reshape(-1)
+    norm = jnp.sqrt(dy * dy + dx * dx) + 1e-6
+    gy, gx = dy / norm, dx / norm
+    ey = (flows[0].reshape(-1) - gy) ** 2
+    ex = (flows[1].reshape(-1) - gx) ** 2
+    err = jax.ops.segment_sum((ey + ex) * valid, seg, num_segments=max_cells)
+    return err / jnp.maximum(cnt, 1), cnt
+
+
+def compute_masks(
+    flows: np.ndarray,
+    cellprob: np.ndarray,
+    cellprob_threshold: float = 0.0,
+    flow_scale: float = 5.0,
+    n_iters: int = 200,
+    min_size: int = 15,
+    seed_threshold: float = 10.0,
+) -> np.ndarray:
+    """Flows + cellprob -> compact int32 instance masks.
+
+    Mirrors the reference engine's mask recovery: threshold the probability,
+    advect (network flows are 5x-scaled, hence flow_scale), cluster, filter
+    small objects, relabel consecutively.
+    """
+    active = jnp.asarray(cellprob) > cellprob_threshold
+    f = jnp.asarray(flows, jnp.float32) / flow_scale
+    pos = follow_flows(f, active, n_iters=n_iters)
+    labels = np.asarray(masks_from_flows(pos, active, seed_threshold=seed_threshold))
+    labels = relabel_consecutive(labels, min_size=min_size)
+    return labels
+
+
+def relabel_consecutive(labels: np.ndarray, min_size: int = 0) -> np.ndarray:
+    """Host post-pass: drop small labels, relabel to 1..K."""
+    out = np.zeros_like(labels, dtype=np.int32)
+    ids, counts = np.unique(labels[labels > 0], return_counts=True)
+    keep = ids[counts >= min_size] if min_size else ids
+    for new, old in enumerate(keep, start=1):
+        out[labels == old] = new
+    return out
+
+
+def centroid_flows(labels: np.ndarray) -> np.ndarray:
+    """Ground-truth-style flows: unit vectors toward each label's centroid
+    (exact for convex cells; used for tests and synthetic training data)."""
+    h, w = labels.shape
+    flows = np.zeros((2, h, w), np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    for lab in np.unique(labels):
+        if lab == 0:
+            continue
+        m = labels == lab
+        cy, cx = yy[m].mean(), xx[m].mean()
+        dy, dx = cy - yy[m], cx - xx[m]
+        norm = np.sqrt(dy**2 + dx**2) + 1e-6
+        flows[0][m] = dy / norm
+        flows[1][m] = dx / norm
+    return flows

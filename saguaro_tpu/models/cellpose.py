@@ -1,0 +1,266 @@
+"""Cellpose-style segmentation network, TPU-first.
+
+Replaces the reference's Cellpose engine (`models.CellposeModel(
+model_type='nuclei').eval(img, diameter=100)`, Cellpose_GPU_s3fs.py:108,143;
+SURVEY.md E1). The network predicts, per pixel, a 2-D flow field pointing
+toward the cell center plus a cell-probability logit; instance masks are
+recovered by integrating pixels along the flow (kernels/flow_ode.py).
+
+Design notes (tpu-first, not a torch translation):
+
+* NHWC layout end-to-end; convs land on the MXU via XLA.
+* Residual double-conv encoder/decoder over 4 scales [32, 64, 128, 256]
+  with a global style vector (L2-normalized GAP of the bottleneck)
+  injected into every decoder block — the architecture family of the
+  Cellpose paper, expressed in flax.linen.
+* BatchNorm runs in inference mode with stored statistics so a converter
+  can populate parameters from a pretrained cellpose checkpoint.
+* Static shapes everywhere: inference is tiled (fixed tile size, overlap
+  averaged with a taper window), diameter handling is a bilinear rescale
+  to the 30-px training diameter before the network and a rescale of the
+  flows after.
+* bf16 activations on TPU with f32 params/outputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CellposeConfig",
+    "CellposeUNet",
+    "init_cellpose",
+    "segment_tiles",
+    "segment_image",
+    "train_step",
+    "flow_loss",
+]
+
+
+@dataclass(frozen=True)
+class CellposeConfig:
+    n_channels: int = 2            # cellpose convention: [primary, nuclear/zero]
+    features: tuple[int, ...] = (32, 64, 128, 256)
+    diam_mean: float = 30.0        # training diameter (px)
+    tile: int = 224                # inference tile size
+    tile_overlap: float = 0.1
+    cellprob_threshold: float = 0.0
+    flow_iters: int = 200          # Euler steps for mask recovery
+    compute_dtype: str = "bfloat16"
+
+
+class _ConvBN(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class _ResBlock(nn.Module):
+    """Two conv-BN-relu pairs with a projected residual."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        proj = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        h = _ConvBN(self.features, self.dtype)(x)
+        h = _ConvBN(self.features, self.dtype)(h)
+        x = proj + h
+        h = _ConvBN(self.features, self.dtype)(x)
+        h = _ConvBN(self.features, self.dtype)(h)
+        return x + h
+
+
+class _StyleResBlock(nn.Module):
+    """Decoder block: residual convs with the style vector injected as a
+    per-channel bias before each second conv."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, style):
+        proj = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        h = _ConvBN(self.features, self.dtype)(x)
+        s = nn.Dense(self.features, dtype=jnp.float32)(style)
+        h = h + s[:, None, None, :].astype(h.dtype)
+        h = _ConvBN(self.features, self.dtype)(h)
+        x = proj + h
+        h = _ConvBN(self.features, self.dtype)(x)
+        s2 = nn.Dense(self.features, dtype=jnp.float32)(style)
+        h = h + s2[:, None, None, :].astype(h.dtype)
+        h = _ConvBN(self.features, self.dtype)(h)
+        return x + h
+
+
+class CellposeUNet(nn.Module):
+    """(B, H, W, C_in) -> (B, H, W, 3): [flow_y, flow_x, cellprob logit]."""
+
+    config: CellposeConfig = CellposeConfig()
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dtype)
+
+        skips = []
+        for i, f in enumerate(cfg.features):
+            x = _ResBlock(f, dtype)(x)
+            skips.append(x)
+            if i < len(cfg.features) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # Global style vector from the bottleneck (L2-normalized GAP).
+        style = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
+
+        for i, f in reversed(list(enumerate(cfg.features[:-1]))):
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            x = _StyleResBlock(f, dtype)(x, style)
+
+        out = nn.Conv(3, (1, 1), dtype=jnp.float32)(x.astype(jnp.float32))
+        return out
+
+
+def init_cellpose(config: CellposeConfig = CellposeConfig(), seed: int = 0):
+    """Initialize (model, variables) with the tile shape."""
+    model = CellposeUNet(config)
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.zeros((1, config.tile, config.tile, config.n_channels), jnp.float32)
+    variables = model.init(rng, x)
+    return model, variables
+
+
+# ----------------------------------------------------------------------------
+# Tiled inference
+# ----------------------------------------------------------------------------
+
+
+def _taper(tile: int) -> np.ndarray:
+    """Smooth window weighting tile interiors over their borders."""
+    ramp = np.minimum(np.arange(tile) + 1, tile - np.arange(tile))
+    ramp = np.minimum(ramp / (0.1 * tile + 1), 1.0)
+    return (ramp[:, None] * ramp[None, :]).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def segment_tiles(apply_fn, variables, tiles: jax.Array) -> jax.Array:
+    """Run the network over a (N, tile, tile, C) batch of tiles."""
+    return apply_fn(variables, tiles)
+
+
+def _tile_grid(size: int, tile: int, overlap: float) -> np.ndarray:
+    """Start offsets covering [0, size) with ~overlap fraction of overlap."""
+    if size <= tile:
+        return np.array([0])
+    stride = max(1, int(tile * (1 - overlap)))
+    starts = list(range(0, size - tile + 1, stride))
+    if starts[-1] != size - tile:
+        starts.append(size - tile)
+    return np.array(starts)
+
+
+def segment_image(
+    apply_fn,
+    variables,
+    image: np.ndarray,
+    config: CellposeConfig = CellposeConfig(),
+    diameter: float | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full-image network pass with diameter rescale + overlap-tiled eval.
+
+    image: (H, W, C) float array. Returns (flows (2,H,W), cellprob (H,W),
+    styles) at the ORIGINAL resolution, mirroring cellpose eval's resizing
+    contract (reference runs diameter=100 -> rescale 0.3).
+    """
+    h0, w0 = image.shape[:2]
+    scale = 1.0 if not diameter else config.diam_mean / float(diameter)
+    h1 = max(config.tile // 4, int(round(h0 * scale)))
+    w1 = max(config.tile // 4, int(round(w0 * scale)))
+    x = jax.image.resize(
+        jnp.asarray(image, jnp.float32), (h1, w1, image.shape[2]), method="bilinear"
+    )
+
+    # normalize channels to [0,1] by 1-99 percentile (cellpose convention)
+    lo = jnp.percentile(x, 1.0, axis=(0, 1), keepdims=True)
+    hi = jnp.percentile(x, 99.0, axis=(0, 1), keepdims=True)
+    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+
+    t = config.tile
+    pad_h = max(t - h1, 0)
+    pad_w = max(t - w1, 0)
+    x = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = x.shape[:2]
+
+    ys = _tile_grid(hp, t, config.tile_overlap)
+    xs = _tile_grid(wp, t, config.tile_overlap)
+    tiles = jnp.stack(
+        [
+            jax.lax.dynamic_slice(x, (int(y), int(xx), 0), (t, t, x.shape[2]))
+            for y in ys
+            for xx in xs
+        ]
+    )
+    out = np.asarray(segment_tiles(apply_fn, variables, tiles))
+
+    acc = np.zeros((hp, wp, 3), np.float32)
+    wacc = np.zeros((hp, wp, 1), np.float32)
+    win = _taper(t)[:, :, None]
+    k = 0
+    for y in ys:
+        for xx in xs:
+            acc[y : y + t, xx : xx + t] += out[k] * win
+            wacc[y : y + t, xx : xx + t] += win
+            k += 1
+    merged = acc / np.maximum(wacc, 1e-6)
+    merged = merged[:h1, :w1]
+
+    full = jax.image.resize(jnp.asarray(merged), (h0, w0, 3), method="bilinear")
+    full = np.asarray(full)
+    flows = np.moveaxis(full[:, :, :2], -1, 0)
+    cellprob = full[:, :, 2]
+    return flows, cellprob, None
+
+
+# ----------------------------------------------------------------------------
+# Training (flow regression) — the multi-chip trainable path
+# ----------------------------------------------------------------------------
+
+
+def flow_loss(pred: jax.Array, target_flows: jax.Array, target_prob: jax.Array) -> jax.Array:
+    """Cellpose's objective: MSE on (5x scaled) flows + BCE on cellprob."""
+    mse = jnp.mean((pred[..., :2] - 5.0 * target_flows) ** 2)
+    logits = pred[..., 2]
+    bce = jnp.mean(
+        jnp.maximum(logits, 0) - logits * target_prob + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return mse + bce
+
+
+def train_step(apply_fn, params, batch_stats, opt_state, batch, tx):
+    """One optimizer step; callers jit/shard this over a mesh."""
+    images, target_flows, target_prob = batch
+
+    def loss_fn(p):
+        pred = apply_fn({"params": p, "batch_stats": batch_stats}, images)
+        return flow_loss(pred, target_flows, target_prob)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, updates)
+    return params, opt_state, loss
