@@ -1,0 +1,175 @@
+"""Per-object Haralick texture features from gray-level co-occurrence
+matrices — CP MeasureTexture equivalent (SURVEY.md E4, hard part 6).
+
+TPU design: for each direction, the co-occurrence counting for EVERY
+object in the image is ONE segment-sum — pixel pairs inside the same
+object index into a (max_cells * levels * levels) histogram via
+``label * L² + q(p0) * L + q(p1)``. The 13 Haralick statistics are then
+closed-form reductions over the (cells, L, L) GLCM stack, fully batched
+on the VPU. No per-object loops anywhere.
+
+GLCMs are symmetrized and normalized per object+direction, matching the
+mahotas/CellProfiler convention; intensities are quantized to ``levels``
+gray levels over the object's own min..max range.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from saguaro_tpu.kernels.segment_reduce import segment_stats
+
+__all__ = ["object_glcm", "haralick_features", "HARALICK_NAMES"]
+
+HARALICK_NAMES = (
+    "AngularSecondMoment",
+    "Contrast",
+    "Correlation",
+    "Variance",
+    "InverseDifferenceMoment",
+    "SumAverage",
+    "SumVariance",
+    "SumEntropy",
+    "Entropy",
+    "DifferenceVariance",
+    "DifferenceEntropy",
+    "InfoMeas1",
+    "InfoMeas2",
+)
+
+# 4 standard directions (dy, dx) at unit scale; multiply by distance.
+_DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
+
+
+@partial(jax.jit, static_argnames=("max_cells", "levels", "distance"))
+def object_glcm(
+    image: jax.Array,
+    labels: jax.Array,
+    max_cells: int = 1024,
+    levels: int = 16,
+    distance: int = 3,
+) -> jax.Array:
+    """(H, W) image + labels -> (4, max_cells, levels, levels) normalized
+    symmetric GLCMs (one per direction)."""
+    h, w = labels.shape
+    lab = jnp.clip(labels, 0, max_cells - 1).astype(jnp.int32)
+    inside = labels > 0
+
+    # per-object min/max for quantization
+    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    vrange = jnp.maximum(vmax - vmin, 1e-12)
+    img = image.astype(jnp.float32)
+    pmin = jnp.take(vmin, lab)
+    prange = jnp.take(vrange, lab)
+    q = jnp.clip(
+        jnp.floor((img - pmin) / prange * levels), 0, levels - 1
+    ).astype(jnp.int32)
+
+    L2 = levels * levels
+    num_segments = max_cells * L2
+
+    def one_direction(dy, dx):
+        dy, dx = dy * distance, dx * distance
+        # shift the (q, lab, inside) grids by (dy, dx); out-of-range -> invalid
+        ys = jnp.arange(h)[:, None] + dy
+        xs = jnp.arange(w)[None, :] + dx
+        ok = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+        ys_c = jnp.clip(ys, 0, h - 1)
+        xs_c = jnp.clip(xs, 0, w - 1)
+        q2 = q[ys_c, xs_c]
+        lab2 = lab[ys_c, xs_c]
+        inside2 = inside[ys_c, xs_c]
+        pair_ok = inside & inside2 & ok & (lab == lab2)
+        idx = lab * L2 + q * levels + q2
+        counts = jax.ops.segment_sum(
+            pair_ok.reshape(-1).astype(jnp.float32),
+            idx.reshape(-1),
+            num_segments=num_segments,
+        ).reshape(max_cells, levels, levels)
+        sym = counts + jnp.swapaxes(counts, 1, 2)
+        total = jnp.sum(sym, axis=(1, 2), keepdims=True)
+        return sym / jnp.maximum(total, 1e-12)
+
+    glcms = jnp.stack([one_direction(dy, dx) for dy, dx in _DIRECTIONS])
+    return glcms
+
+
+@jax.jit
+def haralick_features(glcm: jax.Array) -> dict[str, jax.Array]:
+    """(..., L, L) normalized GLCMs -> dict of 13 Haralick stats (...)."""
+    L = glcm.shape[-1]
+    p = glcm
+    eps = 1e-12
+    i = jnp.arange(L, dtype=jnp.float32)
+    ii = i[:, None]
+    jj = i[None, :]
+
+    px = jnp.sum(p, axis=-1)          # (..., L)
+    py = jnp.sum(p, axis=-2)
+    mux = jnp.sum(px * i, axis=-1)
+    muy = jnp.sum(py * i, axis=-1)
+    sigx = jnp.sqrt(jnp.maximum(jnp.sum(px * i**2, axis=-1) - mux**2, 0.0))
+    sigy = jnp.sqrt(jnp.maximum(jnp.sum(py * i**2, axis=-1) - muy**2, 0.0))
+
+    asm = jnp.sum(p * p, axis=(-2, -1))
+    contrast = jnp.sum(p * (ii - jj) ** 2, axis=(-2, -1))
+    corr_num = jnp.sum(p * ii * jj, axis=(-2, -1)) - mux * muy
+    correlation = corr_num / jnp.maximum(sigx * sigy, eps)
+    # Haralick "Variance" (sum of squares) uses the overall GLCM mean
+    mu = jnp.sum(p * ii, axis=(-2, -1))
+    variance = jnp.sum(p * (ii - mu[..., None, None]) ** 2, axis=(-2, -1))
+    idm = jnp.sum(p / (1.0 + (ii - jj) ** 2), axis=(-2, -1))
+
+    # p_{x+y}(k), k = i+j in [0, 2L-2]; p_{x-y}(k), k = |i-j| in [0, L-1]
+    ksum = (ii + jj).astype(jnp.int32)
+    kdiff = jnp.abs(ii - jj).astype(jnp.int32)
+    batch = p.shape[:-2]
+    p2 = p.reshape((-1, L, L))
+
+    def sum_hist(pp):
+        ps = jax.ops.segment_sum(pp.reshape(-1), ksum.reshape(-1), num_segments=2 * L - 1)
+        pd = jax.ops.segment_sum(pp.reshape(-1), kdiff.reshape(-1), num_segments=L)
+        return ps, pd
+
+    ps, pd = jax.vmap(sum_hist)(p2)
+    ps = ps.reshape(batch + (2 * L - 1,))
+    pd = pd.reshape(batch + (L,))
+    ks = jnp.arange(2 * L - 1, dtype=jnp.float32)
+    kd = jnp.arange(L, dtype=jnp.float32)
+
+    sum_avg = jnp.sum(ps * ks, axis=-1)
+    sum_ent = -jnp.sum(ps * jnp.log2(ps + eps), axis=-1)
+    sum_var = jnp.sum(ps * (ks - sum_avg[..., None]) ** 2, axis=-1)
+    ent = -jnp.sum(p * jnp.log2(p + eps), axis=(-2, -1))
+    diff_avg = jnp.sum(pd * kd, axis=-1)
+    diff_var = jnp.sum(pd * (kd - diff_avg[..., None]) ** 2, axis=-1)
+    diff_ent = -jnp.sum(pd * jnp.log2(pd + eps), axis=-1)
+
+    hx = -jnp.sum(px * jnp.log2(px + eps), axis=-1)
+    hy = -jnp.sum(py * jnp.log2(py + eps), axis=-1)
+    pxy = px[..., :, None] * py[..., None, :]
+    hxy1 = -jnp.sum(p * jnp.log2(pxy + eps), axis=(-2, -1))
+    hxy2 = -jnp.sum(pxy * jnp.log2(pxy + eps), axis=(-2, -1))
+    infomeas1 = (ent - hxy1) / jnp.maximum(jnp.maximum(hx, hy), eps)
+    infomeas2 = jnp.sqrt(
+        jnp.maximum(1.0 - jnp.exp(-2.0 * jnp.log(2.0) * (hxy2 - ent)), 0.0)
+    )
+
+    return {
+        "AngularSecondMoment": asm,
+        "Contrast": contrast,
+        "Correlation": correlation,
+        "Variance": variance,
+        "InverseDifferenceMoment": idm,
+        "SumAverage": sum_avg,
+        "SumVariance": sum_var,
+        "SumEntropy": sum_ent,
+        "Entropy": ent,
+        "DifferenceVariance": diff_var,
+        "DifferenceEntropy": diff_ent,
+        "InfoMeas1": infomeas1,
+        "InfoMeas2": infomeas2,
+    }

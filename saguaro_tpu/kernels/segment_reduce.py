@@ -1,0 +1,202 @@
+"""Per-object segment reductions — the core of CellProfiler-equivalent
+measurements (SURVEY.md E4).
+
+Every per-cell statistic (intensity stats, shape moments, bounding boxes,
+channel correlations) is expressed as a segment reduction over the label
+image with a static ``max_cells`` bound, so a whole site's object
+measurements compile into a handful of fused XLA segment-sums — replacing
+CellProfiler's per-object Python/C loops.
+
+Index convention: output arrays are indexed by compact label id
+(0 = background; slot 0 is zeroed/ignored).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "segment_stats",
+    "intensity_features",
+    "shape_features",
+    "correlation_features",
+]
+
+
+def _flat(labels: jax.Array, max_cells: int) -> jax.Array:
+    return jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def segment_stats(values: jax.Array, labels: jax.Array, max_cells: int = 1024):
+    """(count, sum, sumsq, min, max) per label for one value image."""
+    seg = _flat(labels, max_cells)
+    v = values.reshape(-1).astype(jnp.float32)
+    inside = (labels > 0).reshape(-1)
+    ones = inside.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=max_cells)
+    s = jax.ops.segment_sum(v * ones, seg, num_segments=max_cells)
+    ss = jax.ops.segment_sum(v * v * ones, seg, num_segments=max_cells)
+    big = jnp.float32(3.4e38)
+    vmin = jax.ops.segment_min(jnp.where(inside, v, big), seg, num_segments=max_cells)
+    vmax = jax.ops.segment_max(jnp.where(inside, v, -big), seg, num_segments=max_cells)
+    return cnt, s, ss, vmin, vmax
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 1024):
+    """CP MeasureObjectIntensity core set for one channel.
+
+    Returns dict of (max_cells,) arrays: IntegratedIntensity, MeanIntensity,
+    StdIntensity, MinIntensity, MaxIntensity, MassDisplacement (distance
+    between the binary centroid and the intensity-weighted centroid).
+    """
+    h, w = labels.shape
+    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s / denom
+    var = jnp.maximum(ss / denom - mean * mean, 0.0)
+
+    seg = _flat(labels, max_cells)
+    inside = (labels > 0).reshape(-1).astype(jnp.float32)
+    v = image.reshape(-1).astype(jnp.float32) * inside
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    sy = jax.ops.segment_sum(yy.reshape(-1) * inside, seg, num_segments=max_cells)
+    sx = jax.ops.segment_sum(xx.reshape(-1) * inside, seg, num_segments=max_cells)
+    wy = jax.ops.segment_sum(yy.reshape(-1) * v, seg, num_segments=max_cells)
+    wx = jax.ops.segment_sum(xx.reshape(-1) * v, seg, num_segments=max_cells)
+    sdenom = jnp.maximum(s, 1e-12)
+    disp = jnp.sqrt(
+        (sy / denom - wy / sdenom) ** 2 + (sx / denom - wx / sdenom) ** 2
+    )
+    zero = cnt <= 0
+    z = lambda a: jnp.where(zero, 0.0, a)
+    return {
+        "IntegratedIntensity": z(s),
+        "MeanIntensity": z(mean),
+        "StdIntensity": z(jnp.sqrt(var)),
+        "MinIntensity": z(vmin),
+        "MaxIntensity": z(vmax),
+        "MassDisplacement": z(disp),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def shape_features(labels: jax.Array, max_cells: int = 1024):
+    """CP AreaShape core set from raw moments + boundary counts.
+
+    Returns dict of (max_cells,) arrays: Area, Perimeter, Center_X/Y,
+    MajorAxisLength, MinorAxisLength, Eccentricity, Orientation, Extent,
+    FormFactor, Compactness, BoundingBoxArea, plus bbox min/max.
+    """
+    h, w = labels.shape
+    seg = _flat(labels, max_cells)
+    inside = labels > 0
+    ones = inside.reshape(-1).astype(jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    area = jax.ops.segment_sum(ones, seg, num_segments=max_cells)
+    denom = jnp.maximum(area, 1.0)
+    sy = jax.ops.segment_sum(yy.reshape(-1) * ones, seg, num_segments=max_cells)
+    sx = jax.ops.segment_sum(xx.reshape(-1) * ones, seg, num_segments=max_cells)
+    cy, cx = sy / denom, sx / denom
+    # central second moments (pixel-center convention: +1/12 per axis)
+    syy = jax.ops.segment_sum(yy.reshape(-1) ** 2 * ones, seg, num_segments=max_cells)
+    sxx = jax.ops.segment_sum(xx.reshape(-1) ** 2 * ones, seg, num_segments=max_cells)
+    sxy = jax.ops.segment_sum((yy * xx).reshape(-1) * ones, seg, num_segments=max_cells)
+    muyy = syy / denom - cy * cy + 1.0 / 12.0
+    muxx = sxx / denom - cx * cx + 1.0 / 12.0
+    muxy = sxy / denom - cy * cx
+    common = jnp.sqrt(jnp.maximum((muyy - muxx) ** 2 + 4 * muxy**2, 0.0))
+    l1 = (muyy + muxx + common) / 2.0
+    l2 = (muyy + muxx - common) / 2.0
+    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
+    ecc = jnp.sqrt(jnp.maximum(1.0 - (l2 / jnp.maximum(l1, 1e-12)), 0.0))
+    orientation = 0.5 * jnp.arctan2(2.0 * muxy, muxx - muyy)
+
+    # perimeter: pixels with a 4-neighbor outside the same label
+    lab = labels.astype(jnp.int32)
+    pad = jnp.pad(lab, 1, constant_values=0)
+    up = pad[:-2, 1:-1] != lab
+    down = pad[2:, 1:-1] != lab
+    left = pad[1:-1, :-2] != lab
+    right = pad[1:-1, 2:] != lab
+    boundary = (up | down | left | right) & inside
+    perim = jax.ops.segment_sum(
+        boundary.reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
+    )
+
+    big = jnp.float32(1e9)
+    ymin = jax.ops.segment_min(
+        jnp.where(inside, yy, big).reshape(-1), seg, num_segments=max_cells
+    )
+    ymax = jax.ops.segment_max(
+        jnp.where(inside, yy, -big).reshape(-1), seg, num_segments=max_cells
+    )
+    xmin = jax.ops.segment_min(
+        jnp.where(inside, xx, big).reshape(-1), seg, num_segments=max_cells
+    )
+    xmax = jax.ops.segment_max(
+        jnp.where(inside, xx, -big).reshape(-1), seg, num_segments=max_cells
+    )
+    bbox_area = jnp.maximum(ymax - ymin + 1, 0) * jnp.maximum(xmax - xmin + 1, 0)
+    extent = area / jnp.maximum(bbox_area, 1.0)
+    form = 4.0 * jnp.pi * area / jnp.maximum(perim * perim, 1e-12)
+    compact = jnp.maximum(perim * perim, 0.0) / jnp.maximum(4.0 * jnp.pi * area, 1e-12)
+
+    zero = area <= 0
+    z = lambda a: jnp.where(zero, 0.0, a)
+    return {
+        "Area": z(area),
+        "Perimeter": z(perim),
+        "Center_Y": z(cy),
+        "Center_X": z(cx),
+        "MajorAxisLength": z(major),
+        "MinorAxisLength": z(minor),
+        "Eccentricity": z(ecc),
+        "Orientation": z(orientation),
+        "Extent": z(extent),
+        "FormFactor": z(form),
+        "Compactness": z(compact),
+        "BoundingBoxArea": z(bbox_area),
+        "BoundingBoxMinimum_Y": z(ymin),
+        "BoundingBoxMaximum_Y": z(ymax),
+        "BoundingBoxMinimum_X": z(xmin),
+        "BoundingBoxMaximum_X": z(xmax),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def correlation_features(
+    ch_a: jax.Array, ch_b: jax.Array, labels: jax.Array, max_cells: int = 1024
+):
+    """CP MeasureColocalization core per object: Pearson correlation and
+    least-squares slope between two channels inside each object."""
+    seg = _flat(labels, max_cells)
+    inside = (labels > 0).reshape(-1).astype(jnp.float32)
+    a = ch_a.reshape(-1).astype(jnp.float32) * inside
+    b = ch_b.reshape(-1).astype(jnp.float32) * inside
+    n = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
+    sa = jax.ops.segment_sum(a, seg, num_segments=max_cells)
+    sb = jax.ops.segment_sum(b, seg, num_segments=max_cells)
+    saa = jax.ops.segment_sum(a * a, seg, num_segments=max_cells)
+    sbb = jax.ops.segment_sum(b * b, seg, num_segments=max_cells)
+    sab = jax.ops.segment_sum(a * b, seg, num_segments=max_cells)
+    denom = jnp.maximum(n, 1.0)
+    cov = sab / denom - (sa / denom) * (sb / denom)
+    va = jnp.maximum(saa / denom - (sa / denom) ** 2, 0.0)
+    vb = jnp.maximum(sbb / denom - (sb / denom) ** 2, 0.0)
+    corr = cov / jnp.maximum(jnp.sqrt(va * vb), 1e-12)
+    slope = cov / jnp.maximum(va, 1e-12)
+    zero = n <= 1
+    return {
+        "Correlation": jnp.where(zero, 0.0, corr),
+        "Slope": jnp.where(zero, 0.0, slope),
+    }

@@ -1,0 +1,249 @@
+"""EfficientNetV2 feature extractor, flax/TPU-native.
+
+Replaces the reference's HuggingFace ``timm/tf_efficientnetv2_l.in21k``
+pooler-output embedding engine (Cellpose_GPU_s3fs.py:27,109-110,191-194;
+SURVEY.md E2): per 200x200 masked cell crop, each channel is min-max scaled
+to 8-bit, replicated to RGB, resized to the model resolution, and embedded
+to a 1280-d vector.
+
+Architecture follows the EfficientNetV2 paper family (fused-MBConv early
+stages, MBConv+SE late stages, 1280-d head). Variant L matches the
+reference's checkpoint shape: widths (32,64,96,192,224,384,640), depths
+(4,7,7,10,19,25,7). BatchNorm runs in inference mode with stored
+statistics so converted pretrained weights drop straight in
+(models/effnet_weights.py maps a timm state dict onto this tree).
+
+TPU notes: NHWC, bf16 activations, f32 statistics; everything static so a
+whole (cells x channels) padded batch embeds as one jitted program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "EffNetV2Config",
+    "EFFNETV2_S",
+    "EFFNETV2_M",
+    "EFFNETV2_L",
+    "EffNetV2",
+    "init_effnetv2",
+    "preprocess_crops",
+    "embed_crops",
+]
+
+
+@dataclass(frozen=True)
+class StageSpec:
+    block: str          # "fused" | "mbconv"
+    expand: int
+    kernel: int
+    stride: int
+    filters: int
+    count: int
+    se_ratio: float = 0.0
+
+
+@dataclass(frozen=True)
+class EffNetV2Config:
+    stem_filters: int
+    stages: tuple[StageSpec, ...]
+    head_filters: int = 1280
+    input_size: int = 480
+    compute_dtype: str = "bfloat16"
+
+
+EFFNETV2_S = EffNetV2Config(
+    stem_filters=24,
+    stages=(
+        StageSpec("fused", 1, 3, 1, 24, 2),
+        StageSpec("fused", 4, 3, 2, 48, 4),
+        StageSpec("fused", 4, 3, 2, 64, 4),
+        StageSpec("mbconv", 4, 3, 2, 128, 6, 0.25),
+        StageSpec("mbconv", 6, 3, 1, 160, 9, 0.25),
+        StageSpec("mbconv", 6, 3, 2, 256, 15, 0.25),
+    ),
+    input_size=384,
+)
+
+EFFNETV2_M = EffNetV2Config(
+    stem_filters=24,
+    stages=(
+        StageSpec("fused", 1, 3, 1, 24, 3),
+        StageSpec("fused", 4, 3, 2, 48, 5),
+        StageSpec("fused", 4, 3, 2, 80, 5),
+        StageSpec("mbconv", 4, 3, 2, 160, 7, 0.25),
+        StageSpec("mbconv", 6, 3, 1, 176, 14, 0.25),
+        StageSpec("mbconv", 6, 3, 2, 304, 18, 0.25),
+        StageSpec("mbconv", 6, 3, 1, 512, 5, 0.25),
+    ),
+    input_size=480,
+)
+
+EFFNETV2_L = EffNetV2Config(
+    stem_filters=32,
+    stages=(
+        StageSpec("fused", 1, 3, 1, 32, 4),
+        StageSpec("fused", 4, 3, 2, 64, 7),
+        StageSpec("fused", 4, 3, 2, 96, 7),
+        StageSpec("mbconv", 4, 3, 2, 192, 10, 0.25),
+        StageSpec("mbconv", 6, 3, 1, 224, 19, 0.25),
+        StageSpec("mbconv", 6, 3, 2, 384, 25, 0.25),
+        StageSpec("mbconv", 6, 3, 1, 640, 7, 0.25),
+    ),
+    input_size=480,
+)
+
+
+class _ConvBNAct(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(x)
+        return nn.silu(x) if self.act else x
+
+
+class _SE(nn.Module):
+    in_filters: int
+    se_filters: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.se_filters, (1, 1), dtype=jnp.float32)(s)
+        s = nn.silu(s)
+        s = nn.Conv(self.in_filters, (1, 1), dtype=jnp.float32)(s)
+        return x * jax.nn.sigmoid(s).astype(x.dtype)
+
+
+class _FusedMBConv(nn.Module):
+    spec: StageSpec
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        mid = inp * self.spec.expand
+        h = x
+        if self.spec.expand != 1:
+            h = _ConvBNAct(mid, self.spec.kernel, self.stride, dtype=self.dtype)(h)
+            h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype)(h)
+        else:
+            h = _ConvBNAct(self.spec.filters, self.spec.kernel, self.stride, dtype=self.dtype)(h)
+        if self.stride == 1 and inp == self.spec.filters:
+            h = h + x
+        return h
+
+
+class _MBConv(nn.Module):
+    spec: StageSpec
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        mid = inp * self.spec.expand
+        h = _ConvBNAct(mid, 1, 1, dtype=self.dtype)(x)
+        # depthwise
+        h = nn.Conv(
+            mid,
+            (self.spec.kernel, self.spec.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            feature_group_count=mid,
+            use_bias=False,
+            dtype=self.dtype,
+        )(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(h)
+        h = nn.silu(h)
+        if self.spec.se_ratio > 0:
+            h = _SE(mid, max(1, int(inp * self.spec.se_ratio)), self.dtype)(h)
+        h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype)(h)
+        if self.stride == 1 and inp == self.spec.filters:
+            h = h + x
+        return h
+
+
+class EffNetV2(nn.Module):
+    """(B, H, W, 3) -> (B, 1280) pooled features (the 'pooler_output')."""
+
+    config: EffNetV2Config = EFFNETV2_L
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dtype)
+        x = _ConvBNAct(cfg.stem_filters, 3, 2, dtype=dtype)(x)
+        for spec in cfg.stages:
+            for i in range(spec.count):
+                stride = spec.stride if i == 0 else 1
+                if spec.block == "fused":
+                    x = _FusedMBConv(spec, stride, dtype)(x)
+                else:
+                    x = _MBConv(spec, stride, dtype)(x)
+        x = _ConvBNAct(cfg.head_filters, 1, 1, dtype=dtype)(x)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def init_effnetv2(config: EffNetV2Config = EFFNETV2_L, seed: int = 0, init_size: int | None = None):
+    """Initialize (model, variables). ``init_size`` can be small: the net is
+    fully convolutional, so parameter shapes are resolution-independent."""
+    model = EffNetV2(config)
+    size = init_size or 64
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x)
+    return model, variables
+
+
+# ----------------------------------------------------------------------------
+# Crop preprocessing — the reference's scale_to_8bit + RGB + processor chain
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def preprocess_crops(crops: jax.Array, out_size: int = 480) -> jax.Array:
+    """(N, H, W) single-channel crops -> (N, out, out, 3) model inputs.
+
+    Per crop: min-max scale to [0, 255] quantized to uint8 steps (parity
+    with scale_to_8bit, Cellpose_GPU_s3fs.py:34-43), replicate to RGB,
+    bicubic-resize to the model resolution, normalize to mean/std 0.5 —
+    the AutoImageProcessor contract for tf_efficientnetv2 checkpoints.
+    """
+    x = crops.astype(jnp.float32)
+    mn = jnp.min(x, axis=(1, 2), keepdims=True)
+    mx = jnp.max(x, axis=(1, 2), keepdims=True)
+    flat = mx == mn
+    scaled = jnp.where(flat, 0.0, 255.0 * (x - mn) / jnp.where(flat, 1.0, mx - mn))
+    scaled = jnp.floor(scaled)  # uint8 truncation parity
+    n = crops.shape[0]
+    resized = jax.image.resize(scaled, (n, out_size, out_size), method="cubic")
+    resized = jnp.clip(resized, 0.0, 255.0)
+    normed = (resized / 255.0 - 0.5) / 0.5
+    return jnp.repeat(normed[..., None], 3, axis=-1)
+
+
+def embed_crops(apply_fn, variables, crops: jax.Array, out_size: int = 480) -> jax.Array:
+    """(N, H, W) crops -> (N, 1280) embeddings, one fused program."""
+    return apply_fn(variables, preprocess_crops(crops, out_size))

@@ -1,0 +1,15 @@
+from saguaro_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+    fsdp_param_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_sharding",
+    "fsdp_param_sharding",
+]

@@ -1,0 +1,181 @@
+"""Classical feature extraction — CellProfiler-equivalent measurement
+pipeline producing the Image/Nuclei/Cells/Cytoplasm CSV contract.
+
+The reference runs CellProfiler 4.2.8 in Docker on an EC2 fleet
+(Feature_extraction_opt.py:147-181) with a .cppipe that is not in the
+repo; the downstream stages consume its 4-table CSV schema
+(Normalize_CP_ami.py:47-64, Pycyto_pertime.py:46-75). This module
+reproduces that capability on TPU: per site, nuclei labels (from the
+segmentation engine) are expanded to cell/cytoplasm objects, and every
+object table gets intensity, shape, texture (Haralick), and
+channel-correlation features as fused segment reductions — one jitted
+program per (image shape, channel count).
+
+Column naming follows the CP conventions the suite's regexes rely on:
+``AreaShape_*``, ``Intensity_<stat>_<channel>``,
+``Texture_<stat>_<channel>_<scale>_<dir>_<levels>``,
+``Correlation_Correlation_<chA>_<chB>``, ``Granularity_<k>_<channel>``,
+``Count_<object>``, ``Location_Center_X/Y``, ``Number_Object_Number``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from saguaro_tpu.kernels.glcm import HARALICK_NAMES, haralick_features, object_glcm
+from saguaro_tpu.kernels.morphology import (
+    expand_labels,
+    granularity_spectrum,
+    tertiary_objects,
+)
+from saguaro_tpu.kernels.segment_reduce import (
+    correlation_features,
+    intensity_features,
+    shape_features,
+)
+
+__all__ = ["FeatureConfig", "measure_site", "otsu_threshold"]
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    channels: tuple[str, ...]
+    max_cells: int = 512
+    glcm_levels: int = 16
+    texture_scale: int = 3
+    secondary_iterations: int = 12
+    granularity_length: int = 16
+    measure_texture: bool = True
+
+
+@jax.jit
+def otsu_threshold(image: jax.Array, nbins: int = 256) -> jax.Array:
+    """Otsu's threshold over a 256-bin histogram (CP's default global
+    two-class Otsu for secondary-object identification)."""
+    img = image.astype(jnp.float32)
+    lo, hi = jnp.min(img), jnp.max(img)
+    span = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(((img - lo) / span * nbins), 0, nbins - 1).astype(jnp.int32)
+    hist = jax.ops.segment_sum(
+        jnp.ones(img.size, jnp.float32), q.reshape(-1), num_segments=nbins
+    )
+    w = hist / img.size
+    centers = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) / nbins * span + lo
+    omega = jnp.cumsum(w)
+    mu = jnp.cumsum(w * centers)
+    mu_t = mu[-1]
+    sigma_b = (mu_t * omega - mu) ** 2 / jnp.maximum(omega * (1.0 - omega), 1e-12)
+    k = jnp.argmax(sigma_b)
+    return centers[k]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
+    """One program: object derivation + all measurements for one site.
+
+    image: (H, W, C) float32; nuclei: (H, W) int32 compact labels.
+    Returns nested dict of arrays.
+    """
+    n_ch = image.shape[-1]
+    # Secondary objects grow over the cell-body stain: CP convention uses a
+    # cytoplasmic channel; we use the mean of the non-nuclear channels, or
+    # the nuclear channel itself when it is the only one.
+    body = jnp.mean(image[..., 1:], axis=-1) if n_ch > 1 else image[..., 0]
+    thr = otsu_threshold(body)
+    cells = expand_labels(nuclei, body, thr, iterations=cfg.secondary_iterations)
+    cyto = tertiary_objects(cells, nuclei)
+
+    objects = {"Nuclei": nuclei, "Cells": cells, "Cytoplasm": cyto}
+    out: dict = {"objects": {}, "image": {}}
+
+    for obj_name, labels in objects.items():
+        feats: dict[str, jax.Array] = {}
+        shape = shape_features(labels, cfg.max_cells)
+        for k, v in shape.items():
+            feats[f"AreaShape_{k}"] = v
+        feats["Location_Center_X"] = shape["Center_X"]
+        feats["Location_Center_Y"] = shape["Center_Y"]
+        for c in range(n_ch):
+            ch_name = cfg.channels[c]
+            inten = intensity_features(image[..., c], labels, cfg.max_cells)
+            for k, v in inten.items():
+                feats[f"Intensity_{k}_{ch_name}"] = v
+            if cfg.measure_texture:
+                glcms = object_glcm(
+                    image[..., c], labels, cfg.max_cells, cfg.glcm_levels, cfg.texture_scale
+                )
+                har = haralick_features(glcms)  # each (4, max_cells)
+                for k in HARALICK_NAMES:
+                    for d in range(4):
+                        feats[
+                            f"Texture_{k}_{ch_name}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
+                        ] = har[k][d]
+        for a in range(n_ch):
+            for b in range(a + 1, n_ch):
+                corr = correlation_features(
+                    image[..., a], image[..., b], labels, cfg.max_cells
+                )
+                pair = f"{cfg.channels[a]}_{cfg.channels[b]}"
+                feats[f"Correlation_Correlation_{pair}"] = corr["Correlation"]
+                feats[f"Correlation_Slope_{pair}"] = corr["Slope"]
+        out["objects"][obj_name] = feats
+        out["image"][f"Count_{obj_name}"] = jnp.sum(
+            (shape["Area"] > 0).astype(jnp.int32)
+        )
+
+    for c in range(n_ch):
+        ch_name = cfg.channels[c]
+        gran = granularity_spectrum(image[..., c], cfg.granularity_length)
+        out["image"][f"Granularity_{ch_name}"] = gran
+        out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(image[..., c])
+        out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(image[..., c])
+        out["image"][f"Intensity_MaxIntensity_{ch_name}"] = jnp.max(image[..., c])
+    out["image"]["Threshold_Secondary"] = thr
+    return out
+
+
+def measure_site(
+    image: np.ndarray,
+    nuclei_labels: np.ndarray,
+    cfg: FeatureConfig,
+    image_number: int = 1,
+    metadata: dict | None = None,
+) -> dict[str, pd.DataFrame]:
+    """Measure one site; returns {'Image','Nuclei','Cells','Cytoplasm'}
+    DataFrames in the CP schema."""
+    res = _measure_all(
+        jnp.asarray(image, jnp.float32), jnp.asarray(nuclei_labels, jnp.int32), cfg
+    )
+    res = jax.tree.map(np.asarray, res)
+    metadata = metadata or {}
+
+    tables: dict[str, pd.DataFrame] = {}
+    for obj_name, feats in res["objects"].items():
+        areas = feats["AreaShape_Area"]
+        present = np.where(areas > 0)[0]
+        df = pd.DataFrame({k: v[present] for k, v in feats.items()})
+        df.insert(0, "ObjectNumber", present.astype(np.int64))
+        df.insert(0, "ImageNumber", image_number)
+        df["Number_Object_Number"] = present.astype(np.int64)
+        for k, v in metadata.items():
+            df[k] = v
+        tables[obj_name] = df
+
+    img_row: dict = {"ImageNumber": image_number}
+    for k, v in res["image"].items():
+        if k.startswith("Granularity_"):
+            ch = k.split("_", 1)[1]
+            for i, g in enumerate(np.asarray(v), start=1):
+                img_row[f"Granularity_{i}_{ch}"] = float(g)
+        else:
+            img_row[k] = np.asarray(v).item()
+    for k, v in metadata.items():
+        img_row[k] = v
+    tables["Image"] = pd.DataFrame([img_row])
+    return tables

@@ -1,0 +1,360 @@
+"""Segmentation + deep-embedding engine — the flagship pipeline.
+
+TPU-native rebuild of the reference's producer/consumer GPU pipeline
+(Cellpose_GPU_s3fs.py: producers :47-87, consumers :89-232, driver
+:235-473). The multiprocess architecture disappears: a thread pool
+prefetches TIFFs + illumination division on the host (the producer role),
+and a single controller feeds static-shape site batches to jitted device
+programs (the consumer role):
+
+  1. U-Net tiled inference -> flows + cellprob        (models/cellpose.py)
+  2. flow-following mask recovery -> labels           (kernels/flow_ode.py)
+  3. fixed-box masked crops around centroids          (kernels/crops.py)
+  4. per-channel EfficientNetV2 embeddings, fixed-chunk batches
+                                                      (models/effnetv2.py)
+  5. optional XGBoost dead-cell scoring               (models/xgb.py)
+
+Outputs preserve the reference contract exactly:
+  *_counts.csv                 per-site Cell_Count (+ Dead_Cells)
+  *_coords.parquet             Cell_ID = {well}_{site}_cell{i}, Y/X, Is_Dead
+  *_well_aggregated.parquet    (or *_filtered_well_aggregated.parquet)
+                               mean_features per well + Cell_Count
+  *_single_cell.parquet        exploded per-cell feature rows
+
+Failure contract matches the reference: any per-site error yields an
+empty result for that site and the run continues
+(Cellpose_GPU_s3fs.py:123-125,228-232).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from saguaro_tpu.io import storage, tiff
+from saguaro_tpu.io.loaddata import filter_qc_passing, site_image_paths
+from saguaro_tpu.kernels.crops import extract_crops
+from saguaro_tpu.kernels.flow_ode import compute_masks
+from saguaro_tpu.models.cellpose import CellposeConfig, init_cellpose, segment_image
+from saguaro_tpu.models.effnetv2 import (
+    EFFNETV2_L,
+    EffNetV2Config,
+    init_effnetv2,
+    preprocess_crops,
+)
+
+logger = logging.getLogger("saguaro_tpu.segment_embed")
+
+__all__ = ["SegmentEmbedConfig", "SegmentEmbedEngine", "run_pipeline"]
+
+FEATURE_LENGTH = 1280  # embedding width (Cellpose_GPU_s3fs.py:29)
+
+
+@dataclass
+class SegmentEmbedConfig:
+    channels: list[str] = field(default_factory=list)
+    diameter: float = 100.0            # reference eval setting (:143)
+    box_size: int = 200                # crop box (:30)
+    max_cells: int = 512               # static per-site cell bound
+    embed_chunk: int = 64              # crops per embedding device program
+    embed_size: int = 480              # model input resolution
+    cellprob_threshold: float = 0.0
+    flow_iters: int = 200
+    min_size: int = 15
+    prefetch_workers: int = 8          # host I/O threads (producer role)
+    filter_dead_cells: bool = False
+    save_coords: bool = False
+    single_cell: bool = False
+    xgb_model_path: str | None = None
+    cellpose: CellposeConfig = field(default_factory=CellposeConfig)
+    effnet: EffNetV2Config = field(default_factory=lambda: EFFNETV2_L)
+
+
+class SegmentEmbedEngine:
+    """Holds models + jitted programs; processes sites one by one."""
+
+    def __init__(self, cfg: SegmentEmbedConfig, cellpose_variables=None, effnet_variables=None, seed: int = 0):
+        self.cfg = cfg
+        self.cell_model, cp_vars = init_cellpose(cfg.cellpose, seed=seed)
+        self.cell_vars = cellpose_variables or cp_vars
+        self.feat_model, en_vars = init_effnetv2(cfg.effnet, seed=seed)
+        self.feat_vars = effnet_variables or en_vars
+        self.xgb = None
+        if cfg.xgb_model_path:
+            from saguaro_tpu.models.xgb import XGBEnsemble
+
+            self.xgb = XGBEnsemble.from_json(cfg.xgb_model_path)
+        self._embed = jax.jit(self._embed_chunk)
+
+    def _embed_chunk(self, crops: jax.Array) -> jax.Array:
+        """(chunk, box, box) single-channel crops -> (chunk, 1280)."""
+        x = preprocess_crops(crops, self.cfg.embed_size)
+        return self.feat_model.apply(self.feat_vars, x)
+
+    # ---------------- per-site device path ----------------
+
+    def segment(self, image: np.ndarray) -> np.ndarray:
+        """(H, W, C) -> int32 label mask. Uses the first <=3 channels for
+        segmentation (reference: 'first 3 channels', :141)."""
+        cfg = self.cfg
+        n_seg = min(3, image.shape[-1])
+        seg_in = image[..., :n_seg].astype(np.float32)
+        primary = seg_in.mean(axis=-1, keepdims=True)
+        net_in = np.concatenate([primary, np.zeros_like(primary)], axis=-1)
+        flows, cellprob, _ = segment_image(
+            self.cell_model.apply, self.cell_vars, net_in, cfg.cellpose, diameter=cfg.diameter
+        )
+        return compute_masks(
+            flows,
+            cellprob,
+            cellprob_threshold=cfg.cellprob_threshold,
+            n_iters=cfg.flow_iters,
+            min_size=cfg.min_size,
+        )
+
+    def embed_site(self, image: np.ndarray, labels: np.ndarray):
+        """Crops + embeddings for one site.
+
+        Returns (features (n_cells, C, 1280) float32, coords (n_cells, 2)).
+        """
+        cfg = self.cfg
+        n_ch = image.shape[-1]
+        crops, valid, coords = extract_crops(
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(labels, jnp.int32),
+            max_cells=cfg.max_cells,
+            box=cfg.box_size,
+        )
+        valid = np.asarray(valid)
+        idx = np.where(valid)[0]
+        if idx.size == 0:
+            return (
+                np.zeros((0, n_ch, FEATURE_LENGTH), np.float32),
+                np.zeros((0, 2), np.int64),
+            )
+        crops = np.asarray(crops)[idx]              # (n, box, box, C)
+        coords = np.asarray(coords)[idx]
+        # (n*C, box, box): per-cell per-channel crops, channel-major per cell
+        flat = np.moveaxis(crops, -1, 1).reshape(-1, cfg.box_size, cfg.box_size)
+        chunks = []
+        ck = cfg.embed_chunk
+        for s in range(0, flat.shape[0], ck):
+            part = flat[s : s + ck]
+            if part.shape[0] < ck:  # pad to static chunk shape
+                pad = np.zeros((ck - part.shape[0], *part.shape[1:]), part.dtype)
+                part = np.concatenate([part, pad])
+            chunks.append(np.asarray(self._embed(jnp.asarray(part))))
+        feats = np.concatenate(chunks)[: flat.shape[0]]
+        return feats.reshape(idx.size, n_ch, FEATURE_LENGTH), coords
+
+    def score_dead(self, features: np.ndarray) -> np.ndarray:
+        """(n, C, 1280) -> bool dead flags (preds > 0.5, reference :216)."""
+        if self.xgb is None or len(features) == 0:
+            return np.zeros(len(features), dtype=bool)
+        flat = features.reshape(len(features), -1)
+        return np.asarray(self.xgb.predict_dead(flat))
+
+    def process_site(self, image: np.ndarray):
+        """Full per-site result dict (the consumer loop body)."""
+        labels = self.segment(image)
+        if labels.max() == 0:
+            return {"status": "empty", "n_cells": 0}
+        feats, coords = self.embed_site(image, labels)
+        if len(feats) == 0:
+            return {"status": "empty", "n_cells": 0}
+        is_dead = self.score_dead(feats)
+        return {
+            "status": "success",
+            "n_cells": len(feats),
+            "features": feats,
+            "coords": coords,
+            "is_dead": is_dead,
+        }
+
+
+# ----------------------------------------------------------------------------
+# Host prefetch (the producer role) + driver
+# ----------------------------------------------------------------------------
+
+
+def _prefetch_sites(tasks, channels, illum, workers: int, out_queue: queue.Queue):
+    """Thread pool reading per-site channel TIFFs (+ illum division)."""
+
+    def load(task):
+        site_id, paths = task
+        try:
+            chans = []
+            for i, p in enumerate(paths):
+                img = tiff.imread(p).astype(np.float32)
+                if illum and illum[i] is not None and img.shape == illum[i].shape:
+                    img = img / illum[i]
+                chans.append(img)
+            return site_id, np.stack(chans, axis=-1)
+        except Exception as e:  # degrade-per-site, like the reference
+            logger.error("prefetch failed on site %s: %s", site_id, e)
+            return site_id, None
+
+    sem = threading.Semaphore(workers * 2)
+
+    def worker(task):
+        out_queue.put(load(task))
+        sem.release()
+
+    def feeder():
+        for t in tasks:
+            sem.acquire()
+            threading.Thread(target=worker, args=(t,), daemon=True).start()
+
+    threading.Thread(target=feeder, daemon=True).start()
+
+
+def run_pipeline(
+    load_data: pd.DataFrame,
+    data_base_path: str,
+    cfg: SegmentEmbedConfig,
+    out_data_path: str,
+    engine: SegmentEmbedEngine | None = None,
+    image_qc: pd.DataFrame | None = None,
+    illum: list[np.ndarray | None] | None = None,
+) -> dict[str, str]:
+    """End-to-end run, mirroring Cellpose_GPU_s3fs.main's outputs.
+
+    Returns {output kind: path written}.
+    """
+    outputs: dict[str, str] = {}
+    if image_qc is not None:
+        load_data = filter_qc_passing(load_data, image_qc)
+    load_data = load_data.reset_index(drop=True)
+
+    tasks = [
+        (idx, site_image_paths(row, cfg.channels, data_base_path))
+        for idx, row in load_data.iterrows()
+    ]
+    n_ch = len(cfg.channels)
+    engine = engine or SegmentEmbedEngine(cfg)
+
+    q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_workers * 2)
+    _prefetch_sites(tasks, cfg.channels, illum, cfg.prefetch_workers, q)
+
+    results: dict[int, dict] = {}
+    for _ in range(len(tasks)):
+        site_id, image = q.get()
+        if image is None or image.shape[-1] != n_ch:
+            results[site_id] = {"status": "empty", "n_cells": 0}
+            continue
+        try:
+            results[site_id] = engine.process_site(image)
+        except Exception as e:
+            logger.error("site %s failed: %s", site_id, e)
+            results[site_id] = {"status": "empty", "n_cells": 0}
+
+    # ---------------- result assembly (reference :326-471) ----------------
+    order = list(range(len(tasks)))
+    site_features, site_coords, site_dead = [], [], []
+    for i in order:
+        r = results[i]
+        if r["status"] == "empty":
+            site_features.append(np.zeros((0, n_ch, FEATURE_LENGTH), np.float32))
+            site_coords.append(np.zeros((0, 2), np.int64))
+            site_dead.append(np.array([], dtype=bool))
+        else:
+            site_features.append(r["features"])
+            site_coords.append(r["coords"])
+            site_dead.append(r["is_dead"])
+
+    aggregated, counts, dead_counts = [], [], []
+    for feats, flags in zip(site_features, site_dead):
+        if len(feats) == 0:
+            aggregated.append(np.zeros((n_ch, FEATURE_LENGTH), np.float32))
+            counts.append(0)
+            dead_counts.append(0)
+        elif cfg.xgb_model_path and cfg.filter_dead_cells:
+            alive = ~flags
+            n_alive = int(alive.sum())
+            aggregated.append(
+                feats[alive].sum(axis=0) if n_alive else np.zeros((n_ch, FEATURE_LENGTH), np.float32)
+            )
+            counts.append(n_alive)
+            dead_counts.append(int(flags.sum()))
+        else:
+            aggregated.append(feats.sum(axis=0))
+            counts.append(len(feats))
+            dead_counts.append(int(flags.sum()))
+
+    load_data = load_data.copy()
+    load_data["Cell_Count"] = counts
+    if cfg.xgb_model_path:
+        load_data["Dead_Cells"] = dead_counts
+    counts_path = out_data_path.replace(".parquet", "_counts.csv")
+    storage.write_csv(load_data, counts_path)
+    outputs["counts"] = counts_path
+
+    if cfg.save_coords:
+        recs = []
+        for i, (coords, flags) in enumerate(zip(site_coords, site_dead)):
+            well = load_data.loc[i, "Metadata_Well"] if "Metadata_Well" in load_data.columns else str(i)
+            site = load_data.loc[i, "Metadata_Site"] if "Metadata_Site" in load_data.columns else str(i)
+            for k, (y, x) in enumerate(coords):
+                recs.append({
+                    "Cell_ID": f"{well}_{site}_cell{k}",
+                    "Y_Center": int(y),
+                    "X_Center": int(x),
+                    "Is_Dead": bool(flags[k]) if len(flags) else False,
+                })
+        if recs:
+            coords_path = out_data_path.replace(".parquet", "_coords.parquet")
+            with storage.open_file(coords_path, "wb") as f:
+                pd.DataFrame(recs).to_parquet(f, engine="pyarrow")
+            outputs["coords"] = coords_path
+
+    # well-level aggregation: mean of per-site feature sums / total cells
+    agg = load_data.copy()
+    agg["sum_features"] = [a for a in aggregated]
+    meta_keep = [c for c in ("Metadata_Timepoint", "Metadata_Plate") if c in agg.columns]
+    agg_funcs = {"sum_features": lambda s: np.sum(np.stack(list(s.values)), axis=0), "Cell_Count": "sum"}
+    for c in meta_keep:
+        agg_funcs[c] = "first"
+    well = agg.groupby("Metadata_Well").agg(agg_funcs).reset_index()
+    well["mean_features"] = well.apply(
+        lambda row: (row["sum_features"] / row["Cell_Count"]).tolist()
+        if row["Cell_Count"] > 0
+        else np.zeros((n_ch, FEATURE_LENGTH)).tolist(),
+        axis=1,
+    )
+    well = well.drop(columns=["sum_features"])
+    suffix = "_filtered_well_aggregated.parquet" if cfg.filter_dead_cells else "_well_aggregated.parquet"
+    well_path = out_data_path.replace(".parquet", suffix)
+    with storage.open_file(well_path, "wb") as f:
+        well.to_parquet(f, engine="pyarrow")
+    outputs["well_aggregated"] = well_path
+
+    if cfg.single_cell:
+        sc_path = out_data_path.replace(".parquet", "_single_cell.parquet")
+        valid_idx = [i for i, f in enumerate(site_features) if len(f) > 0]
+        if not valid_idx:
+            with storage.open_file(sc_path, "wb") as f:
+                load_data.to_parquet(f, engine="pyarrow")
+        else:
+            valid_sites = load_data.iloc[valid_idx].copy()
+            repeats = [len(site_features[i]) for i in valid_idx]
+            expanded = valid_sites.loc[valid_sites.index.repeat(repeats)].copy()
+            expanded["Cell_Index"] = expanded.groupby(level=0).cumcount()
+            stacked = np.concatenate([site_features[i] for i in valid_idx], axis=0)
+            expanded["single_cell_features"] = list(stacked.reshape(stacked.shape[0], -1))
+            if cfg.xgb_model_path:
+                expanded["is_dead_cell"] = np.concatenate([site_dead[i] for i in valid_idx])
+            if "Cell_Count" in expanded.columns:
+                expanded = expanded.drop(columns=["Cell_Count"])
+            with storage.open_file(sc_path, "wb") as f:
+                expanded.to_parquet(f, engine="pyarrow", row_group_size=100_000)
+        outputs["single_cell"] = sc_path
+
+    return outputs

@@ -1,0 +1,227 @@
+"""Per-object measurement kernels vs numpy oracles + schema tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from saguaro_tpu.kernels.crops import extract_crops, label_centroids
+from saguaro_tpu.kernels.glcm import haralick_features, object_glcm
+from saguaro_tpu.kernels.morphology import (
+    expand_labels,
+    granularity_spectrum,
+    tertiary_objects,
+)
+from saguaro_tpu.kernels.segment_reduce import (
+    correlation_features,
+    intensity_features,
+    shape_features,
+)
+from saguaro_tpu.pipeline.features import FeatureConfig, measure_site, otsu_threshold
+
+
+def _disk(h, w, cy, cx, r):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
+def _labels_two_disks(h=96, w=96):
+    labels = np.zeros((h, w), np.int32)
+    labels[_disk(h, w, 30, 30, 10)] = 1
+    labels[_disk(h, w, 64, 64, 14)] = 2
+    return labels
+
+
+class TestIntensity:
+    def test_matches_numpy(self, rng):
+        labels = _labels_two_disks()
+        img = rng.normal(100, 20, labels.shape).astype(np.float32)
+        feats = {k: np.asarray(v) for k, v in intensity_features(img, labels, 16).items()}
+        for lab in (1, 2):
+            m = labels == lab
+            np.testing.assert_allclose(feats["IntegratedIntensity"][lab], img[m].sum(), rtol=1e-5)
+            np.testing.assert_allclose(feats["MeanIntensity"][lab], img[m].mean(), rtol=1e-5)
+            np.testing.assert_allclose(feats["StdIntensity"][lab], img[m].std(), rtol=1e-4)
+            np.testing.assert_allclose(feats["MinIntensity"][lab], img[m].min(), rtol=1e-6)
+            np.testing.assert_allclose(feats["MaxIntensity"][lab], img[m].max(), rtol=1e-6)
+
+    def test_mass_displacement_uniform_is_zero(self):
+        labels = _labels_two_disks()
+        img = np.ones(labels.shape, np.float32)
+        feats = intensity_features(img, labels, 16)
+        assert float(feats["MassDisplacement"][1]) < 1e-3
+
+
+class TestShape:
+    def test_disk_properties(self):
+        labels = np.zeros((128, 128), np.int32)
+        r = 20
+        labels[_disk(128, 128, 64, 64, r)] = 1
+        f = {k: float(np.asarray(v)[1]) for k, v in shape_features(labels, 8).items()}
+        area = (labels == 1).sum()
+        assert f["Area"] == area
+        np.testing.assert_allclose(f["Center_Y"], 64, atol=0.5)
+        np.testing.assert_allclose(f["Center_X"], 64, atol=0.5)
+        # circle: eccentricity ~ 0, major ~ minor ~ 2r
+        assert f["Eccentricity"] < 0.1
+        np.testing.assert_allclose(f["MajorAxisLength"], 2 * r, rtol=0.08)
+        np.testing.assert_allclose(f["MinorAxisLength"], 2 * r, rtol=0.08)
+        # form factor of a near-circle is near 1 (pixelated perimeter lowers it)
+        assert 0.7 < f["FormFactor"] < 1.6
+        assert f["BoundingBoxArea"] == pytest.approx((2 * r + 1) ** 2, rel=0.05)
+
+    def test_elongated_object(self):
+        labels = np.zeros((64, 64), np.int32)
+        labels[30:34, 10:54] = 1  # 4 x 44 bar
+        f = {k: float(np.asarray(v)[1]) for k, v in shape_features(labels, 8).items()}
+        assert f["Eccentricity"] > 0.95
+        assert f["MajorAxisLength"] > 3 * f["MinorAxisLength"]
+        np.testing.assert_allclose(abs(f["Orientation"]), 0.0, atol=0.05)  # x-aligned
+
+
+class TestCorrelation:
+    def test_matches_numpy(self, rng):
+        labels = _labels_two_disks()
+        a = rng.normal(size=labels.shape).astype(np.float32)
+        b = 0.8 * a + 0.2 * rng.normal(size=labels.shape).astype(np.float32)
+        out = correlation_features(a, b, labels, 16)
+        for lab in (1, 2):
+            m = labels == lab
+            expected = np.corrcoef(a[m], b[m])[0, 1]
+            np.testing.assert_allclose(float(out["Correlation"][lab]), expected, atol=1e-3)
+
+
+class TestGLCM:
+    def test_tiny_image_matches_hand_glcm(self):
+        # 4x4 single object, 2 gray levels, distance 1, direction (0,1)
+        img = np.array(
+            [[0, 0, 1, 1], [0, 0, 1, 1], [0, 2, 2, 2], [2, 2, 3, 3]], np.float32
+        )
+        labels = np.ones((4, 4), np.int32)
+        glcm = np.asarray(object_glcm(img, labels, max_cells=2, levels=4, distance=1))
+        # hand count horizontal pairs (p -> q), quantized = img values
+        counts = np.zeros((4, 4))
+        for y in range(4):
+            for x in range(3):
+                # quantization: (v - 0) / 3 * 4 floored, clipped to 3
+                q = lambda v: min(int(v / 3.0 * 4), 3)
+                counts[q(img[y, x]), q(img[y, x + 1])] += 1
+        sym = counts + counts.T
+        expected = sym / sym.sum()
+        np.testing.assert_allclose(glcm[0, 1], expected, atol=1e-6)
+
+    def test_haralick_uniform_vs_structured(self, rng):
+        labels = np.zeros((64, 64), np.int32)
+        labels[_disk(64, 64, 32, 32, 20)] = 1
+        flat = np.ones((64, 64), np.float32)
+        noisy = rng.normal(0, 1, (64, 64)).astype(np.float32)
+        g_flat = object_glcm(flat, labels, max_cells=4, levels=8, distance=1)
+        g_noise = object_glcm(noisy, labels, max_cells=4, levels=8, distance=1)
+        h_flat = {k: np.asarray(v)[0, 1] for k, v in haralick_features(g_flat).items()}
+        h_noise = {k: np.asarray(v)[0, 1] for k, v in haralick_features(g_noise).items()}
+        # flat image: maximal ASM (all mass in one cell), zero contrast/entropy
+        assert h_flat["AngularSecondMoment"] > 0.99
+        assert h_flat["Contrast"] < 1e-6
+        assert h_noise["Entropy"] > h_flat["Entropy"]
+        assert h_noise["Contrast"] > h_flat["Contrast"]
+
+    def test_glcm_respects_object_boundaries(self):
+        # two adjacent objects: pairs must not cross labels
+        img = np.zeros((4, 4), np.float32)
+        img[:, 2:] = 3.0
+        labels = np.zeros((4, 4), np.int32)
+        labels[:, :2] = 1
+        labels[:, 2:] = 2
+        glcm = np.asarray(object_glcm(img, labels, max_cells=4, levels=4, distance=1))
+        # horizontal direction: each object only has same-value pairs
+        for lab in (1, 2):
+            g = glcm[0, lab]
+            assert g.sum() == pytest.approx(1.0)
+            off_diag = g.sum() - np.trace(g)
+            assert off_diag == pytest.approx(0.0, abs=1e-6)
+
+
+class TestMorphology:
+    def test_expand_labels_respects_threshold(self):
+        nuclei = np.zeros((32, 32), np.int32)
+        nuclei[14:18, 14:18] = 1
+        intensity = np.zeros((32, 32), np.float32)
+        intensity[10:22, 10:22] = 1.0  # bright region bounded at rows/cols 10..21
+        cells = np.asarray(expand_labels(nuclei, intensity, 0.5, iterations=10))
+        assert cells[11, 11] == 1          # claimed (bright)
+        assert cells[5, 5] == 0            # dark, never claimed
+        assert (cells[nuclei == 1] == 1).all()
+
+    def test_tertiary(self):
+        cells = np.full((8, 8), 3, np.int32)
+        nuclei = np.zeros((8, 8), np.int32)
+        nuclei[2:4, 2:4] = 3
+        cyto = np.asarray(tertiary_objects(cells, nuclei))
+        assert cyto[2, 2] == 0
+        assert cyto[6, 6] == 3
+
+    def test_granularity_spectrum_shape(self, rng):
+        img = rng.random((64, 64)).astype(np.float32)
+        g = np.asarray(granularity_spectrum(img, 8))
+        assert g.shape == (8,)
+        assert np.isfinite(g).all()
+        # fine noise: most volume removed at small radii
+        assert g[0] > g[-1]
+
+    def test_otsu_bimodal(self, rng):
+        img = np.r_[rng.normal(10, 1, 500), rng.normal(50, 1, 500)].astype(np.float32)
+        thr = float(otsu_threshold(img.reshape(-1, 1)))
+        # any threshold separating the modes is a valid Otsu maximizer
+        # (argmax picks the left edge of the empty gap, like skimage)
+        assert (img < thr).sum() == 500
+        assert (img > thr).sum() == 500
+
+
+class TestCrops:
+    def test_centroids(self):
+        labels = _labels_two_disks()
+        cy, cx, cnt = (np.asarray(a) for a in label_centroids(labels, 8))
+        assert (cy[1], cx[1]) == (30, 30)
+        assert (cy[2], cx[2]) == (64, 64)
+        assert cnt[1] == (labels == 1).sum()
+
+    def test_extract_and_mask(self, rng):
+        labels = _labels_two_disks()
+        img = rng.random((96, 96, 2)).astype(np.float32)
+        crops, valid, coords = (np.asarray(a) for a in extract_crops(img, labels, max_cells=8, box=40))
+        assert valid[1] and valid[2]
+        c1 = crops[1]
+        # center pixel equals image value (inside mask), corner is zero (outside)
+        np.testing.assert_allclose(c1[20, 20], img[30, 30], rtol=1e-6)
+        np.testing.assert_allclose(c1[0, 0], 0.0)
+
+    def test_edge_cells_excluded(self):
+        labels = np.zeros((96, 96), np.int32)
+        labels[_disk(96, 96, 5, 5, 4)] = 1   # near corner
+        labels[_disk(96, 96, 48, 48, 4)] = 2
+        img = np.ones((96, 96, 1), np.float32)
+        _, valid, _ = extract_crops(img, labels, max_cells=8, box=40)
+        valid = np.asarray(valid)
+        assert not valid[1]  # box would cross the edge -> skipped (reference rule)
+        assert valid[2]
+
+
+class TestMeasureSite:
+    def test_tables_schema(self, rng):
+        labels = _labels_two_disks()
+        img = rng.random((96, 96, 2)).astype(np.float32) + labels[..., None] * 0.5
+        cfg = FeatureConfig(channels=("DNA", "GFP"), max_cells=16, glcm_levels=8)
+        tables = measure_site(img, labels, cfg, image_number=7, metadata={"Metadata_Well": "A01"})
+        assert set(tables) == {"Image", "Nuclei", "Cells", "Cytoplasm"}
+        nuc = tables["Nuclei"]
+        assert len(nuc) == 2
+        assert {"ImageNumber", "ObjectNumber", "AreaShape_Area",
+                "Intensity_MeanIntensity_DNA", "Correlation_Correlation_DNA_GFP",
+                "Location_Center_X", "Metadata_Well"} <= set(nuc.columns)
+        assert any(c.startswith("Texture_AngularSecondMoment_DNA_3_") for c in nuc.columns)
+        img_t = tables["Image"]
+        assert img_t["Count_Nuclei"].item() == 2
+        assert img_t["Count_Cells"].item() >= 2
+        assert "Granularity_1_DNA" in img_t.columns
+        # cells contain nuclei: cytoplasm area < cells area
+        assert (tables["Cytoplasm"]["AreaShape_Area"].to_numpy()
+                < tables["Cells"]["AreaShape_Area"].to_numpy()).all()

@@ -1,0 +1,165 @@
+"""Integration: segmentation+embedding pipeline on a fake plate, and the
+feature-extraction -> normalize -> select -> hits chain end-to-end."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from saguaro_tpu.models.cellpose import CellposeConfig
+from saguaro_tpu.models.effnetv2 import EffNetV2Config, StageSpec
+from saguaro_tpu.pipeline.segment_embed import (
+    SegmentEmbedConfig,
+    SegmentEmbedEngine,
+    run_pipeline,
+)
+
+from .fixtures import make_fake_plate
+
+TINY_EFFNET = EffNetV2Config(
+    stem_filters=8,
+    stages=(
+        StageSpec("fused", 1, 3, 1, 8, 1),
+        StageSpec("fused", 2, 3, 2, 16, 1),
+        StageSpec("mbconv", 2, 3, 2, 24, 1, 0.25),
+    ),
+    head_filters=1280,
+    input_size=64,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_plate(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plate"))
+    return make_fake_plate(root, n_wells=2, sites_per_well=1, image_size=96)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = SegmentEmbedConfig(
+        channels=["DNA", "GFP"],
+        diameter=None,
+        box_size=40,
+        max_cells=32,
+        embed_chunk=8,
+        embed_size=64,
+        flow_iters=60,
+        min_size=5,
+        prefetch_workers=2,
+        save_coords=True,
+        single_cell=True,
+        cellpose=CellposeConfig(tile=96, features=(8, 16, 32, 64)),
+        effnet=TINY_EFFNET,
+    )
+    return cfg, SegmentEmbedEngine(cfg)
+
+
+class TestSegmentEmbedPipeline:
+    def test_outputs_schema(self, fake_plate, engine, tmp_path):
+        load_data, paths = fake_plate
+        cfg, eng = engine
+        out = str(tmp_path / "result.parquet")
+        illum = [np.ones((96, 96), np.float32)] * 2
+        outputs = run_pipeline(
+            load_data, paths["images"], cfg, out, engine=eng, illum=illum
+        )
+        assert set(outputs) >= {"counts", "well_aggregated", "single_cell"}
+
+        counts = pd.read_csv(outputs["counts"])
+        assert "Cell_Count" in counts.columns
+        assert len(counts) == len(load_data)
+
+        well = pd.read_parquet(outputs["well_aggregated"])
+        assert {"Metadata_Well", "Cell_Count", "mean_features"} <= set(well.columns)
+        assert len(well) == load_data["Metadata_Well"].nunique()
+        mf = np.stack([np.asarray(x) for x in well["mean_features"].iloc[0]])
+        assert mf.shape == (2, 1280)  # (channels, FEATURE_LENGTH)
+
+        sc = pd.read_parquet(outputs["single_cell"])
+        if len(sc) and "single_cell_features" in sc.columns:
+            row = np.asarray(sc["single_cell_features"].iloc[0])
+            assert row.shape == (2 * 1280,)
+            assert "Cell_Index" in sc.columns
+
+    def test_error_isolation_bad_file(self, engine, tmp_path):
+        """A missing TIFF degrades that site to empty, run continues —
+        the reference's per-site failure contract."""
+        cfg, eng = engine
+        load_data = pd.DataFrame({
+            "Metadata_Plate": ["P1"],
+            "Metadata_Well": ["A01"],
+            "Metadata_Site": [1],
+            "Metadata_Timepoint": ["6"],
+            "FileName_DNA": ["does_not_exist.tiff"],
+            "FileName_GFP": ["also_missing.tiff"],
+        })
+        out = str(tmp_path / "res.parquet")
+        outputs = run_pipeline(load_data, str(tmp_path), cfg, out, engine=eng)
+        counts = pd.read_csv(outputs["counts"])
+        assert counts["Cell_Count"].iloc[0] == 0
+
+
+class TestFullProfileChain:
+    def test_features_to_hits(self, fake_plate, tmp_path, rng):
+        """GT masks -> CP-schema tables -> normalize -> select -> induction."""
+        from saguaro_tpu.ops import (
+            annotate,
+            feature_select,
+            hit_calling,
+            normalize_profiles,
+        )
+        from saguaro_tpu.ops.aggregate import (
+            aggregate_wells,
+            merge_tables,
+            prefix_features,
+        )
+        from saguaro_tpu.pipeline.features import FeatureConfig, measure_site
+        from saguaro_tpu.io import tiff
+
+        # needs >1 DMSO well: a single DMSO replicate gives MAD=0 and every
+        # feature robustizes to ~1e18 -> drop_outliers (correctly) removes all
+        root = str(tmp_path / "plate8")
+        load_data, paths = make_fake_plate(root, n_wells=8, sites_per_well=1, image_size=96)
+        fcfg = FeatureConfig(channels=("DNA", "GFP"), max_cells=16, glcm_levels=8)
+
+        all_tables: dict[str, list[pd.DataFrame]] = {}
+        for i, row in load_data.iterrows():
+            imgs = np.stack(
+                [
+                    tiff.imread(os.path.join(paths["images"], row[f"FileName_{c}"]))
+                    for c in ("DNA", "GFP")
+                ],
+                axis=-1,
+            ).astype(np.float32)
+            gt = paths["gt_masks"][(row["Metadata_Well"], row["Metadata_Site"])]
+            tables = measure_site(
+                imgs, gt, fcfg, image_number=i + 1,
+                metadata={"Metadata_Well": row["Metadata_Well"]},
+            )
+            for name, df in tables.items():
+                all_tables.setdefault(name, []).append(df)
+
+        merged_tables = {}
+        prefixes = {"Image": "Image_", "Nuclei": "DNA_", "Cells": "Cell_", "Cytoplasm": "Cyto_"}
+        for name, dfs in all_tables.items():
+            df = pd.concat(dfs, ignore_index=True)
+            df = df.drop(columns=[c for c in ("ImageNumber", "ObjectNumber") if c in df.columns])
+            df = prefix_features(df, prefixes[name])
+            merged_tables[name] = aggregate_wells(df)
+        profile = merge_tables(merged_tables)
+        assert len(profile) == load_data["Metadata_Well"].nunique()
+
+        platemap = pd.read_csv(paths["platemap"])
+        profile = annotate(profile, platemap)
+        profile["Metadata_Timepoint"] = "6"
+
+        norm = normalize_profiles(
+            profile,
+            samples_query="Metadata_Compound == 'DMSO' and Metadata_Timepoint == '6'",
+        )
+        sel = feature_select(norm, na_cutoff=0.5, corr_threshold=0.95)
+        assert len([c for c in sel.columns if "Metadata" not in c]) > 0
+        # hit calling runs without error on the tiny plate
+        ind_mean, thresholds, sig_ind = hit_calling(sel)
+        assert "induction" in sig_ind.columns
