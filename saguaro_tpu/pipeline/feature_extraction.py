@@ -1,0 +1,124 @@
+"""Classical feature-extraction driver — the CellProfiler-fleet replacement.
+
+The reference dispatches (plate, time) jobs to EC2 instances running
+CellProfiler 4.2.8 in Docker (Feature_extraction_opt.py:73-181). On TPU
+the fleet disappears: one controller walks the same job list, segments
+each site (U-Net + flow dynamics), measures the CP-equivalent feature
+tables (pipeline/features.py), and writes Image/Nuclei/Cells/Cytoplasm.csv
+under the same ``<plate>/<time>/`` output contract the profile stages
+consume (Normalize_CP_ami.py:57-64).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+from saguaro_tpu.io import storage, tiff
+from saguaro_tpu.io.loaddata import load_illum_functions, site_image_paths
+from saguaro_tpu.pipeline.features import FeatureConfig, measure_site
+from saguaro_tpu.pipeline.pixel_stages import bucket_path
+
+logger = logging.getLogger("saguaro_tpu.feature_extraction")
+
+__all__ = ["run_feature_extraction_job", "run_batch_processing"]
+
+_METADATA_COLS = (
+    "Metadata_Plate",
+    "Metadata_Well",
+    "Metadata_Site",
+    "Metadata_Timepoint",
+    "Metadata_Compound",
+    "Metadata_ConcLevel",
+)
+
+
+def run_feature_extraction_job(
+    load_data: pd.DataFrame,
+    image_path: str,
+    output_path: str,
+    channels: list[str],
+    segmenter,
+    feature_cfg: FeatureConfig | None = None,
+    illum_path: str | None = None,
+) -> dict[str, str]:
+    """One (plate, time) job: segment + measure every site, write 4 tables.
+
+    ``segmenter(image) -> labels`` supplies nuclei masks (the segmentation
+    engine, or ground truth in tests).
+    """
+    cfg = feature_cfg or FeatureConfig(channels=tuple(channels))
+    illum = load_illum_functions(illum_path, channels) if illum_path else None
+
+    all_tables: dict[str, list[pd.DataFrame]] = {}
+    for i, row in load_data.reset_index(drop=True).iterrows():
+        image_number = i + 1
+        metadata = {c: row[c] for c in _METADATA_COLS if c in row.index}
+        try:
+            chans = []
+            for k, p in enumerate(site_image_paths(row, channels, image_path)):
+                img = tiff.imread(p).astype(np.float32)
+                if illum and illum[k] is not None and img.shape == illum[k].shape:
+                    img = img / illum[k]
+                chans.append(img)
+            image = np.stack(chans, axis=-1)
+            labels = segmenter(image)
+            tables = measure_site(image, labels, cfg, image_number, metadata)
+        except Exception as e:
+            logger.error("site %d failed: %s", image_number, e)
+            tables = {
+                name: pd.DataFrame([{"ImageNumber": image_number, **metadata}])
+                if name == "Image"
+                else pd.DataFrame()
+                for name in ("Image", "Nuclei", "Cells", "Cytoplasm")
+            }
+        for name, df in tables.items():
+            all_tables.setdefault(name, []).append(df)
+
+    written = {}
+    for name, dfs in all_tables.items():
+        out = storage.join(output_path, f"{name}.csv")
+        storage.write_csv(pd.concat(dfs, ignore_index=True), out)
+        written[name] = out
+    return written
+
+
+def run_batch_processing(
+    bucket_name: str,
+    base_output_path: str,
+    plates: list[str],
+    times: list[str],
+    channels: list[str],
+    image_path_for_job,
+    load_data_key_for_job,
+    segmenter,
+    feature_cfg: FeatureConfig | None = None,
+) -> dict[tuple[str, str], dict[str, str]]:
+    """Walk the (plate x time) job grid — the fleet orchestrator's role
+    (Feature_extraction_opt.py:73-145) without EC2/SSM: jobs run on the
+    local TPU controller, outputs land at ``<base>/<plate>/<time>/``.
+
+    ``image_path_for_job(plate, time)`` and
+    ``load_data_key_for_job(plate, time)`` encode the project's path
+    conventions (the reference hardcodes them at :153-156).
+    """
+    results = {}
+    jobs = [(p, t) for p in plates for t in times]
+    logger.info("Generated %d jobs", len(jobs))
+    for plate, time in jobs:
+        logger.info("Job %s/%s", plate, time)
+        load_data = storage.read_csv_sniffed(
+            bucket_path(bucket_name, load_data_key_for_job(plate, time))
+        )
+        out = bucket_path(base_output_path, f"{plate}/{time}")
+        results[(plate, time)] = run_feature_extraction_job(
+            load_data,
+            bucket_path(bucket_name, image_path_for_job(plate, time)),
+            out,
+            channels,
+            segmenter,
+            feature_cfg,
+        )
+    return results
