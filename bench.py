@@ -22,14 +22,11 @@ import numpy as np
 
 
 def main() -> None:
-    import jax
-
-    from saguaro_tpu.kernels.flow_ode import compute_masks
-    from saguaro_tpu.models.cellpose import CellposeConfig, init_cellpose, segment_image
+    from saguaro_tpu.pipeline.segment_embed import SegmentEmbedConfig, SegmentEmbedEngine
 
     size = 1080
-    cfg = CellposeConfig(tile=224)
-    model, variables = init_cellpose(cfg, seed=0)
+    cfg = SegmentEmbedConfig(channels=["DNA", "GFP"], diameter=100.0)
+    engine = SegmentEmbedEngine(cfg, seed=0)
 
     rng = np.random.default_rng(0)
     image = rng.integers(80, 120, (size, size, 2)).astype(np.float32)
@@ -39,23 +36,21 @@ def main() -> None:
             m = (yy - cy) ** 2 + (xx - cx) ** 2 <= 30**2
             image[m, 0] += 2000.0
 
-    def one_image():
-        flows, cellprob, _ = segment_image(
-            model.apply, variables, image, cfg, diameter=100
-        )
-        masks = compute_masks(flows, cellprob, n_iters=cfg.flow_iters)
-        return masks
+    batch = np.stack([image] * cfg.site_batch)
+
+    def one_batch():
+        return engine.segment_batch(batch)
 
     # warmup/compile
-    one_image()
+    one_batch()
 
-    iters = 4
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        one_image()
+        one_batch()
     dt = (time.perf_counter() - t0) / iters
 
-    ips = 1.0 / dt
+    ips = cfg.site_batch / dt
     parity_ips = 384.0 / (300.0 * 8.0)  # north star per chip
     print(
         json.dumps(

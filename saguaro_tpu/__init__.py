@@ -24,3 +24,23 @@ cli       one entry point per reference script, same flags and outputs.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: TPU compiles of the U-Net / QC / flow
+# programs take tens of seconds (minutes through a remote-compile tunnel);
+# caching them makes every CLI after the first run start hot. Opt out with
+# SAGUARO_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("SAGUARO_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+del _os

@@ -181,14 +181,63 @@ def compute_masks(
     return labels
 
 
+@partial(jax.jit, static_argnames=("n_iters", "seed_threshold", "expand_iters"))
+def _masks_batch(flows, active, n_iters, seed_threshold, expand_iters):
+    def one(f, a):
+        pos = _follow_body(f, a, n_iters)
+        return masks_from_flows(pos, a, seed_threshold, expand_iters)
+
+    return jax.vmap(one)(flows, active)
+
+
+def _follow_body(flows, active, n_iters):
+    # non-jitted body shared by follow_flows and the batched path
+    h, w = flows.shape[1:]
+    fy = jnp.where(active, flows[0], 0.0).astype(jnp.float32)
+    fx = jnp.where(active, flows[1], 0.0).astype(jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    p0 = jnp.stack([yy.reshape(-1), xx.reshape(-1)])
+
+    def step(_, p):
+        dy = _bilinear(fy, p[0], p[1])
+        dx = _bilinear(fx, p[0], p[1])
+        py = jnp.clip(p[0] + dy, 0.0, h - 1.0)
+        px = jnp.clip(p[1] + dx, 0.0, w - 1.0)
+        return jnp.stack([py, px])
+
+    p = jax.lax.fori_loop(0, n_iters, step, p0)
+    return p.reshape(2, h, w)
+
+
+def compute_masks_batch(
+    flows: np.ndarray,
+    cellprob: np.ndarray,
+    cellprob_threshold: float = 0.0,
+    flow_scale: float = 5.0,
+    n_iters: int = 200,
+    min_size: int = 15,
+    seed_threshold: float = 10.0,
+) -> list[np.ndarray]:
+    """Batched compute_masks: (B, 2, H, W) + (B, H, W) -> list of compact
+    label images. The advection + clustering for the whole batch is ONE
+    device program; only the consecutive relabeling runs per image on host.
+    """
+    active = jnp.asarray(cellprob) > cellprob_threshold
+    f = jnp.asarray(flows, jnp.float32) / flow_scale
+    labels = np.asarray(_masks_batch(f, active, n_iters, seed_threshold, 5))
+    return [relabel_consecutive(lab, min_size=min_size) for lab in labels]
+
+
 def relabel_consecutive(labels: np.ndarray, min_size: int = 0) -> np.ndarray:
-    """Host post-pass: drop small labels, relabel to 1..K."""
-    out = np.zeros_like(labels, dtype=np.int32)
+    """Host post-pass: drop small labels, relabel to 1..K (LUT-based)."""
+    labels = np.asarray(labels, dtype=np.int64)
     ids, counts = np.unique(labels[labels > 0], return_counts=True)
     keep = ids[counts >= min_size] if min_size else ids
-    for new, old in enumerate(keep, start=1):
-        out[labels == old] = new
-    return out
+    lut = np.zeros(int(labels.max()) + 1 if labels.size else 1, dtype=np.int32)
+    lut[keep] = np.arange(1, len(keep) + 1, dtype=np.int32)
+    return lut[labels]
 
 
 def centroid_flows(labels: np.ndarray) -> np.ndarray:

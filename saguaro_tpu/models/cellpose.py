@@ -164,15 +164,132 @@ def segment_tiles(apply_fn, variables, tiles: jax.Array) -> jax.Array:
     return apply_fn(variables, tiles)
 
 
-def _tile_grid(size: int, tile: int, overlap: float) -> np.ndarray:
+def _tile_grid(size: int, tile: int, overlap: float) -> tuple[int, ...]:
     """Start offsets covering [0, size) with ~overlap fraction of overlap."""
     if size <= tile:
-        return np.array([0])
+        return (0,)
     stride = max(1, int(tile * (1 - overlap)))
     starts = list(range(0, size - tile + 1, stride))
     if starts[-1] != size - tile:
         starts.append(size - tile)
-    return np.array(starts)
+    return tuple(starts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "net_hw", "tile", "ys", "xs", "out_hw"),
+)
+def _segment_full(apply_fn, variables, image, net_hw, tile, ys, xs, out_hw):
+    """ONE device program: resize -> normalize -> tile -> network -> taper
+    merge (-> optional resize back). All slices static, so the whole
+    full-image pass is a single dispatch — no host round-trips per tile.
+    """
+    h1, w1 = net_hw
+    c = image.shape[-1]
+    x = jax.image.resize(image.astype(jnp.float32), (h1, w1, c), method="bilinear")
+
+    # normalize channels to [0,1] by 1-99 percentile (cellpose convention)
+    lo = jnp.percentile(x, 1.0, axis=(0, 1), keepdims=True)
+    hi = jnp.percentile(x, 99.0, axis=(0, 1), keepdims=True)
+    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+
+    hp = max(h1, tile)
+    wp = max(w1, tile)
+    x = jnp.pad(x, ((0, hp - h1), (0, wp - w1), (0, 0)))
+
+    tiles = jnp.stack([x[y : y + tile, xx : xx + tile] for y in ys for xx in xs])
+    out = apply_fn(variables, tiles)  # (N, tile, tile, 3)
+
+    win = jnp.asarray(_taper(tile))[:, :, None]
+    acc = jnp.zeros((hp, wp, 3), jnp.float32)
+    wacc = jnp.zeros((hp, wp, 1), jnp.float32)
+    k = 0
+    for y in ys:
+        for xx in xs:
+            acc = acc.at[y : y + tile, xx : xx + tile].add(out[k] * win)
+            wacc = wacc.at[y : y + tile, xx : xx + tile].add(win)
+            k += 1
+    merged = (acc / jnp.maximum(wacc, 1e-6))[:h1, :w1]
+
+    if out_hw is not None and out_hw != (h1, w1):
+        merged = jax.image.resize(merged, (*out_hw, 3), method="bilinear")
+    flows = jnp.moveaxis(merged[:, :, :2], -1, 0)
+    return flows, merged[:, :, 2]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "net_hw", "tile", "ys", "xs", "out_hw"),
+)
+def _segment_full_batch(apply_fn, variables, images, net_hw, tile, ys, xs, out_hw):
+    """Batched full-image pass: (B, H, W, C) -> (B, 2, h, w), (B, h, w).
+
+    Tiles from ALL images in the batch feed the network as one
+    (B*N_tiles, tile, tile, C) batch — the MXU sees a big batch instead of
+    the per-image trickle, which is where single-chip throughput comes
+    from for small (rescaled) fields.
+    """
+    b = images.shape[0]
+    h1, w1 = net_hw
+    c = images.shape[-1]
+    x = jax.image.resize(
+        images.astype(jnp.float32), (b, h1, w1, c), method="bilinear"
+    )
+    lo = jnp.percentile(x, 1.0, axis=(1, 2), keepdims=True)
+    hi = jnp.percentile(x, 99.0, axis=(1, 2), keepdims=True)
+    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+
+    hp, wp = max(h1, tile), max(w1, tile)
+    x = jnp.pad(x, ((0, 0), (0, hp - h1), (0, wp - w1), (0, 0)))
+
+    tiles = jnp.stack(
+        [x[:, y : y + tile, xx : xx + tile] for y in ys for xx in xs]
+    )  # (N, B, t, t, C)
+    n = tiles.shape[0]
+    out = apply_fn(variables, tiles.reshape(n * b, tile, tile, c))
+    out = out.reshape(n, b, tile, tile, 3)
+
+    win = jnp.asarray(_taper(tile))[None, :, :, None]
+    acc = jnp.zeros((b, hp, wp, 3), jnp.float32)
+    wacc = jnp.zeros((b, hp, wp, 1), jnp.float32)
+    k = 0
+    for y in ys:
+        for xx in xs:
+            acc = acc.at[:, y : y + tile, xx : xx + tile].add(out[k] * win)
+            wacc = wacc.at[:, y : y + tile, xx : xx + tile].add(win)
+            k += 1
+    merged = (acc / jnp.maximum(wacc, 1e-6))[:, :h1, :w1]
+    if out_hw is not None and out_hw != (h1, w1):
+        merged = jax.image.resize(merged, (b, *out_hw, 3), method="bilinear")
+    flows = jnp.moveaxis(merged[..., :2], -1, 1)  # (B, 2, h, w)
+    return flows, merged[..., 2]
+
+
+def segment_image_batch(
+    apply_fn,
+    variables,
+    images,
+    config: CellposeConfig = CellposeConfig(),
+    diameter: float | None = None,
+    at_network_resolution: bool = False,
+):
+    """Batched variant of segment_image over (B, H, W, C)."""
+    b, h0, w0 = images.shape[:3]
+    h1, w1 = _network_shape(h0, w0, config, diameter)
+    t = config.tile
+    ys = _tile_grid(max(h1, t), t, config.tile_overlap)
+    xs = _tile_grid(max(w1, t), t, config.tile_overlap)
+    out_hw = None if at_network_resolution else (h0, w0)
+    return _segment_full_batch(
+        apply_fn, variables, jnp.asarray(images), (h1, w1), t, ys, xs, out_hw
+    )
+
+
+def _network_shape(h0: int, w0: int, config: CellposeConfig, diameter: float | None):
+    scale = 1.0 if not diameter else config.diam_mean / float(diameter)
+    h1 = max(config.tile // 4, int(round(h0 * scale)))
+    w1 = max(config.tile // 4, int(round(w0 * scale)))
+    return h1, w1
 
 
 def segment_image(
@@ -181,59 +298,26 @@ def segment_image(
     image: np.ndarray,
     config: CellposeConfig = CellposeConfig(),
     diameter: float | None = None,
+    at_network_resolution: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full-image network pass with diameter rescale + overlap-tiled eval.
 
     image: (H, W, C) float array. Returns (flows (2,H,W), cellprob (H,W),
-    styles) at the ORIGINAL resolution, mirroring cellpose eval's resizing
-    contract (reference runs diameter=100 -> rescale 0.3).
+    styles) at the ORIGINAL resolution by default, mirroring cellpose
+    eval's resizing contract (reference runs diameter=100 -> rescale 0.3).
+    With ``at_network_resolution=True`` the outputs stay at the rescaled
+    network resolution — the right domain for the flow dynamics (cellpose
+    integrates there and upsamples the masks), ~1/scale^2 cheaper.
     """
     h0, w0 = image.shape[:2]
-    scale = 1.0 if not diameter else config.diam_mean / float(diameter)
-    h1 = max(config.tile // 4, int(round(h0 * scale)))
-    w1 = max(config.tile // 4, int(round(w0 * scale)))
-    x = jax.image.resize(
-        jnp.asarray(image, jnp.float32), (h1, w1, image.shape[2]), method="bilinear"
-    )
-
-    # normalize channels to [0,1] by 1-99 percentile (cellpose convention)
-    lo = jnp.percentile(x, 1.0, axis=(0, 1), keepdims=True)
-    hi = jnp.percentile(x, 99.0, axis=(0, 1), keepdims=True)
-    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
-
+    h1, w1 = _network_shape(h0, w0, config, diameter)
     t = config.tile
-    pad_h = max(t - h1, 0)
-    pad_w = max(t - w1, 0)
-    x = jnp.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
-    hp, wp = x.shape[:2]
-
-    ys = _tile_grid(hp, t, config.tile_overlap)
-    xs = _tile_grid(wp, t, config.tile_overlap)
-    tiles = jnp.stack(
-        [
-            jax.lax.dynamic_slice(x, (int(y), int(xx), 0), (t, t, x.shape[2]))
-            for y in ys
-            for xx in xs
-        ]
+    ys = _tile_grid(max(h1, t), t, config.tile_overlap)
+    xs = _tile_grid(max(w1, t), t, config.tile_overlap)
+    out_hw = None if at_network_resolution else (h0, w0)
+    flows, cellprob = _segment_full(
+        apply_fn, variables, jnp.asarray(image), (h1, w1), t, ys, xs, out_hw
     )
-    out = np.asarray(segment_tiles(apply_fn, variables, tiles))
-
-    acc = np.zeros((hp, wp, 3), np.float32)
-    wacc = np.zeros((hp, wp, 1), np.float32)
-    win = _taper(t)[:, :, None]
-    k = 0
-    for y in ys:
-        for xx in xs:
-            acc[y : y + t, xx : xx + t] += out[k] * win
-            wacc[y : y + t, xx : xx + t] += win
-            k += 1
-    merged = acc / np.maximum(wacc, 1e-6)
-    merged = merged[:h1, :w1]
-
-    full = jax.image.resize(jnp.asarray(merged), (h0, w0, 3), method="bilinear")
-    full = np.asarray(full)
-    flows = np.moveaxis(full[:, :, :2], -1, 0)
-    cellprob = full[:, :, 2]
     return flows, cellprob, None
 
 

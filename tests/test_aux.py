@@ -1,0 +1,123 @@
+"""Auxiliary subsystems: manifest/resume, timing, weight conversion."""
+
+import numpy as np
+import pytest
+
+from saguaro_tpu.models.weights import (
+    conv_torch_to_flax,
+    convert_by_order,
+    convert_state_dict,
+    flatten_tree,
+    linear_torch_to_flax,
+    unflatten_tree,
+)
+from saguaro_tpu.pipeline.manifest import Manifest
+from saguaro_tpu.utils.timing import StageTimer
+
+
+class TestManifest:
+    def test_resume_cycle(self, tmp_path):
+        path = str(tmp_path / "manifest.jsonl")
+        m = Manifest(path)
+        units = [f"site_{i}" for i in range(5)]
+        assert m.pending(units) == units
+        m.mark_done("site_1", n_cells=10)
+        m.mark_done("site_3")
+        assert m.is_done("site_1")
+        assert m.pending(units) == ["site_0", "site_2", "site_4"]
+        # reload from disk: state survives restart
+        m2 = Manifest(path)
+        assert len(m2) == 2
+        assert m2.info("site_1")["n_cells"] == 10
+        assert m2.pending(units) == ["site_0", "site_2", "site_4"]
+
+
+class TestStageTimer:
+    def test_accumulates(self):
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        with t.stage("b"):
+            pass
+        assert t.count["a"] == 2
+        assert t.count["b"] == 1
+        assert "a" in t.summary()
+
+
+class TestWeights:
+    def test_layout_converters(self, rng):
+        w = rng.normal(size=(8, 3, 5, 5))
+        f = conv_torch_to_flax(w)
+        assert f.shape == (5, 5, 3, 8)
+        np.testing.assert_array_equal(f[0, 0, :, 0], w[0, :, 0, 0])
+        l = rng.normal(size=(16, 4))
+        assert linear_torch_to_flax(l).shape == (4, 16)
+
+    def test_flatten_roundtrip(self, rng):
+        tree = {"params": {"Conv_0": {"kernel": rng.normal(size=(3, 3, 2, 4))}}}
+        flat = flatten_tree(tree)
+        assert "params/Conv_0/kernel" in flat
+        back = unflatten_tree(flat)
+        np.testing.assert_array_equal(
+            back["params"]["Conv_0"]["kernel"], tree["params"]["Conv_0"]["kernel"]
+        )
+
+    def test_convert_state_dict_roundtrip(self, rng):
+        flax_vars = {
+            "params": {
+                "Conv_0": {"kernel": np.zeros((3, 3, 2, 4), np.float32),
+                           "bias": np.zeros(4, np.float32)},
+                "Dense_0": {"kernel": np.zeros((4, 6), np.float32)},
+            }
+        }
+        sd = {
+            "conv1.weight": rng.normal(size=(4, 2, 3, 3)).astype(np.float32),
+            "conv1.bias": rng.normal(size=4).astype(np.float32),
+            "fc.weight": rng.normal(size=(6, 4)).astype(np.float32),
+        }
+        out = convert_state_dict(
+            sd,
+            flax_vars,
+            name_map={
+                "params/Conv_0/kernel": "conv1.weight",
+                "params/Conv_0/bias": "conv1.bias",
+                "params/Dense_0/kernel": "fc.weight",
+            },
+        )
+        np.testing.assert_array_equal(
+            out["params"]["Conv_0"]["kernel"], conv_torch_to_flax(sd["conv1.weight"])
+        )
+        np.testing.assert_array_equal(out["params"]["Conv_0"]["bias"], sd["conv1.bias"])
+        np.testing.assert_array_equal(
+            out["params"]["Dense_0"]["kernel"], sd["fc.weight"].T
+        )
+
+    def test_convert_state_dict_shape_mismatch_raises(self):
+        flax_vars = {"params": {"Conv_0": {"kernel": np.zeros((3, 3, 2, 4))}}}
+        sd = {"conv1.weight": np.zeros((4, 2, 5, 5))}
+        with pytest.raises(ValueError):
+            convert_state_dict(sd, flax_vars, {"params/Conv_0/kernel": "conv1.weight"})
+
+    def test_convert_by_order(self, rng):
+        flax_vars = {
+            "params": {
+                "Conv_0": {"kernel": np.zeros((3, 3, 2, 8), np.float32), "bias": np.zeros(8, np.float32)},
+                "Conv_1": {"kernel": np.zeros((3, 3, 8, 16), np.float32), "bias": np.zeros(16, np.float32)},
+            }
+        }
+        sd = {
+            "net.0.weight": rng.normal(size=(8, 2, 3, 3)).astype(np.float32),
+            "net.0.bias": rng.normal(size=8).astype(np.float32),
+            "net.1.weight": rng.normal(size=(16, 8, 3, 3)).astype(np.float32),
+            "net.1.bias": rng.normal(size=16).astype(np.float32),
+        }
+        out, report = convert_by_order(sd, flax_vars)
+        np.testing.assert_array_equal(
+            out["params"]["Conv_0"]["kernel"], conv_torch_to_flax(sd["net.0.weight"])
+        )
+        np.testing.assert_array_equal(
+            out["params"]["Conv_1"]["kernel"], conv_torch_to_flax(sd["net.1.weight"])
+        )
+        assert not any(line.startswith("UNMATCHED") for line in report)
