@@ -84,6 +84,23 @@ def list_prefix(path: str) -> Iterator[str]:
         yield protocol + entry if protocol and "://" not in entry else entry
 
 
+def discover_folders(path: str, tokens: list[str]) -> list[str]:
+    """First folder level under ``path`` whose name contains any token —
+    the reference's plate-folder discovery (Feature_extraction_opt.py:21-36,
+    ``list_dmso_main_folders``): walk each object key's path segments and
+    collect the shallowest matching prefix."""
+    folders: set[str] = set()
+    base = path.split("://", 1)[-1].strip("/")
+    for key in list_prefix(path):
+        rel = key.split("://", 1)[-1]
+        parts = rel.strip("/").split("/")
+        for i in range(1, len(parts)):
+            if any(token in parts[i - 1] for token in tokens):
+                folders.add("/".join(parts[:i]) + "/")
+                break
+    return sorted(folders)
+
+
 def read_csv_sniffed(path: str, **kwargs) -> pd.DataFrame:
     """Read a CSV whose delimiter may be ``,`` or ``;``.
 

@@ -1,0 +1,215 @@
+"""Extended per-object measurements: quantile/edge intensities, radial
+distribution, neighbors — the remaining CP measurement families
+(SURVEY.md E4).
+
+All computed as segment reductions with static bounds:
+
+* quantile intensities (Median/MAD/quartiles): per-object 256-bin
+  histograms (one segment-sum over ``label*256+bin``) + CDF interpolation
+  — bin-resolution approximation of CP's exact order statistics;
+* edge intensities: segment stats restricted to boundary pixels;
+* radial distribution (FracAtD/MeanFrac per ring): normalized centroid
+  distance binned into rings, one segment-sum per statistic;
+* neighbors: adjacency after label dilation, distinct-neighbor counts via
+  a (max_cells x max_cells) pair-presence matrix, plus PercentTouching.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from saguaro_tpu.kernels.morphology import _pool
+from saguaro_tpu.kernels.segment_reduce import segment_stats
+
+__all__ = [
+    "quantile_intensity_features",
+    "edge_intensity_features",
+    "radial_distribution_features",
+    "neighbor_features",
+]
+
+_NBINS = 256
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def quantile_intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 1024):
+    """Median/MAD/LowerQuartile/UpperQuartile intensity per object via
+    per-object histograms (256 bins over the object's own range)."""
+    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    inside = (labels > 0).reshape(-1)
+    v = image.reshape(-1).astype(jnp.float32)
+
+    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    vrange = jnp.maximum(vmax - vmin, 1e-12)
+    pmin = jnp.take(vmin, seg)
+    prange = jnp.take(vrange, seg)
+    bins = jnp.clip(((v - pmin) / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
+    hist = jax.ops.segment_sum(
+        inside.astype(jnp.float32),
+        seg * _NBINS + bins,
+        num_segments=max_cells * _NBINS,
+    ).reshape(max_cells, _NBINS)
+
+    cdf = jnp.cumsum(hist, axis=1)
+    total = jnp.maximum(cdf[:, -1:], 1.0)
+    cdfn = cdf / total
+
+    def q(p):
+        # first bin where CDF >= p, mapped back to intensity
+        idx = jnp.argmax(cdfn >= p, axis=1).astype(jnp.float32)
+        return vmin + (idx + 0.5) / _NBINS * vrange
+
+    med = q(0.5)
+    lo = q(0.25)
+    hi = q(0.75)
+
+    # MAD: histogram of |v - median(object)| over [0, range]
+    pmed = jnp.take(med, seg)
+    dev = jnp.abs(v - pmed)
+    dbins = jnp.clip((dev / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
+    dhist = jax.ops.segment_sum(
+        inside.astype(jnp.float32),
+        seg * _NBINS + dbins,
+        num_segments=max_cells * _NBINS,
+    ).reshape(max_cells, _NBINS)
+    dcdf = jnp.cumsum(dhist, axis=1) / total
+    mad_idx = jnp.argmax(dcdf >= 0.5, axis=1).astype(jnp.float32)
+    mad = (mad_idx + 0.5) / _NBINS * vrange
+
+    zero = cnt <= 0
+    z = lambda a: jnp.where(zero, 0.0, a)
+    return {
+        "MedianIntensity": z(med),
+        "MADIntensity": z(mad),
+        "LowerQuartileIntensity": z(lo),
+        "UpperQuartileIntensity": z(hi),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def edge_intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 1024):
+    """Intensity stats over each object's boundary pixels (CP Edge set)."""
+    lab = labels.astype(jnp.int32)
+    pad = jnp.pad(lab, 1, constant_values=0)
+    boundary = (
+        (pad[:-2, 1:-1] != lab)
+        | (pad[2:, 1:-1] != lab)
+        | (pad[1:-1, :-2] != lab)
+        | (pad[1:-1, 2:] != lab)
+    ) & (lab > 0)
+    edge_labels = jnp.where(boundary, lab, 0)
+    cnt, s, ss, vmin, vmax = segment_stats(image, edge_labels, max_cells)
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s / denom
+    var = jnp.maximum(ss / denom - mean * mean, 0.0)
+    zero = cnt <= 0
+    z = lambda a: jnp.where(zero, 0.0, a)
+    return {
+        "IntegratedIntensityEdge": z(s),
+        "MeanIntensityEdge": z(mean),
+        "StdIntensityEdge": z(jnp.sqrt(var)),
+        "MinIntensityEdge": z(vmin),
+        "MaxIntensityEdge": z(vmax),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_cells", "n_rings"))
+def radial_distribution_features(
+    image: jax.Array, labels: jax.Array, max_cells: int = 1024, n_rings: int = 4
+):
+    """CP MeasureObjectIntensityDistribution core: per ring (scaled by the
+    object's max centroid distance): FracAtD (fraction of total intensity)
+    and MeanFrac (FracAtD normalized by the ring's pixel fraction)."""
+    h, w = labels.shape
+    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    inside = (labels > 0).reshape(-1).astype(jnp.float32)
+    v = image.reshape(-1).astype(jnp.float32) * inside
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    cnt = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
+    denom = jnp.maximum(cnt, 1.0)
+    cy = jax.ops.segment_sum(yy.reshape(-1) * inside, seg, num_segments=max_cells) / denom
+    cx = jax.ops.segment_sum(xx.reshape(-1) * inside, seg, num_segments=max_cells) / denom
+    dy = yy.reshape(-1) - jnp.take(cy, seg)
+    dx = xx.reshape(-1) - jnp.take(cx, seg)
+    dist = jnp.sqrt(dy * dy + dx * dx)
+    dmax = jax.ops.segment_max(
+        jnp.where(inside > 0, dist, -1.0), seg, num_segments=max_cells
+    )
+    dnorm = dist / jnp.maximum(jnp.take(dmax, seg), 1e-6)
+    ring = jnp.clip((dnorm * n_rings).astype(jnp.int32), 0, n_rings - 1)
+
+    keys = seg * n_rings + ring
+    ring_int = jax.ops.segment_sum(v, keys, num_segments=max_cells * n_rings).reshape(
+        max_cells, n_rings
+    )
+    ring_cnt = jax.ops.segment_sum(
+        inside, keys, num_segments=max_cells * n_rings
+    ).reshape(max_cells, n_rings)
+    total_int = jnp.maximum(jnp.sum(ring_int, axis=1, keepdims=True), 1e-12)
+    frac_at_d = ring_int / total_int
+    pix_frac = ring_cnt / jnp.maximum(cnt[:, None], 1.0)
+    mean_frac = frac_at_d / jnp.maximum(pix_frac, 1e-12)
+    zero = (cnt <= 0)[:, None]
+    return {
+        "FracAtD": jnp.where(zero, 0.0, frac_at_d),       # (max_cells, n_rings)
+        "MeanFrac": jnp.where(zero, 0.0, mean_frac),
+    }
+
+
+@partial(jax.jit, static_argnames=("max_cells", "distance"))
+def neighbor_features(labels: jax.Array, max_cells: int = 1024, distance: int = 5):
+    """CP MeasureObjectNeighbors core: NumberOfNeighbors within
+    ``distance`` px and PercentTouching (fraction of boundary pixels whose
+    dilated neighborhood meets another object)."""
+    lab = labels.astype(jnp.int32)
+
+    # dilate labels into background so nearby (not just touching) objects
+    # become adjacent; existing objects keep their pixels
+    grown = lab
+    for _ in range(max(distance // 2, 0)):
+        neigh = _pool(grown.astype(jnp.float32), jax.lax.max).astype(jnp.int32)
+        grown = jnp.where(grown == 0, neigh, grown)
+
+    pad = jnp.pad(grown, 1, constant_values=0)
+    shifts = (pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:])
+
+    pair_present = jnp.zeros((max_cells * max_cells,), jnp.float32)
+    touching = jnp.zeros(grown.shape, jnp.bool_)
+    me = jnp.clip(grown, 0, max_cells - 1)
+    for sh in shifts:
+        other = jnp.clip(sh, 0, max_cells - 1)
+        is_pair = (grown > 0) & (sh > 0) & (grown != sh)
+        touching = touching | is_pair
+        keys = (me * max_cells + other).reshape(-1)
+        pair_present = pair_present + jax.ops.segment_sum(
+            is_pair.reshape(-1).astype(jnp.float32), keys, num_segments=max_cells * max_cells
+        )
+    pairs = (pair_present.reshape(max_cells, max_cells) > 0).astype(jnp.float32)
+    n_neighbors = jnp.sum(pairs, axis=1)
+
+    # PercentTouching over the ORIGINAL object boundaries
+    padl = jnp.pad(lab, 1, constant_values=0)
+    boundary = (
+        (padl[:-2, 1:-1] != lab)
+        | (padl[2:, 1:-1] != lab)
+        | (padl[1:-1, :-2] != lab)
+        | (padl[1:-1, 2:] != lab)
+    ) & (lab > 0)
+    seg = jnp.clip(lab.reshape(-1), 0, max_cells - 1)
+    b_cnt = jax.ops.segment_sum(
+        boundary.reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
+    )
+    t_cnt = jax.ops.segment_sum(
+        (boundary & touching).reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
+    )
+    pct = 100.0 * t_cnt / jnp.maximum(b_cnt, 1.0)
+    return {
+        "NumberOfNeighbors": n_neighbors,
+        "PercentTouching": pct,
+    }

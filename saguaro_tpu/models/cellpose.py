@@ -219,18 +219,28 @@ def _segment_full(apply_fn, variables, image, net_hw, tile, ys, xs, out_hw):
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "net_hw", "tile", "ys", "xs", "out_hw"),
+    static_argnames=("apply_fn", "net_hw", "tile", "ys", "xs", "out_hw", "n_seg"),
 )
-def _segment_full_batch(apply_fn, variables, images, net_hw, tile, ys, xs, out_hw):
+def _segment_full_batch(
+    apply_fn, variables, images, net_hw, tile, ys, xs, out_hw, n_seg=None
+):
     """Batched full-image pass: (B, H, W, C) -> (B, 2, h, w), (B, h, w).
 
     Tiles from ALL images in the batch feed the network as one
     (B*N_tiles, tile, tile, C) batch — the MXU sees a big batch instead of
     the per-image trickle, which is where single-chip throughput comes
     from for small (rescaled) fields.
+
+    With ``n_seg`` set, ``images`` is the RAW multichannel batch (any
+    dtype): the segmentation input (mean of the first n_seg channels +
+    zero nuclear channel) is built on device, so the host ships the raw
+    uint16 data once and nothing else.
     """
     b = images.shape[0]
     h1, w1 = net_hw
+    if n_seg is not None:
+        primary = jnp.mean(images[..., :n_seg].astype(jnp.float32), axis=-1, keepdims=True)
+        images = jnp.concatenate([primary, jnp.zeros_like(primary)], axis=-1)
     c = images.shape[-1]
     x = jax.image.resize(
         images.astype(jnp.float32), (b, h1, w1, c), method="bilinear"
@@ -272,8 +282,13 @@ def segment_image_batch(
     config: CellposeConfig = CellposeConfig(),
     diameter: float | None = None,
     at_network_resolution: bool = False,
+    n_seg: int | None = None,
 ):
-    """Batched variant of segment_image over (B, H, W, C)."""
+    """Batched variant of segment_image over (B, H, W, C).
+
+    ``n_seg``: build the segmentation input on device from the first
+    n_seg raw channels (ship raw data, not preprocessed floats).
+    """
     b, h0, w0 = images.shape[:3]
     h1, w1 = _network_shape(h0, w0, config, diameter)
     t = config.tile
@@ -281,7 +296,7 @@ def segment_image_batch(
     xs = _tile_grid(max(w1, t), t, config.tile_overlap)
     out_hw = None if at_network_resolution else (h0, w0)
     return _segment_full_batch(
-        apply_fn, variables, jnp.asarray(images), (h1, w1), t, ys, xs, out_hw
+        apply_fn, variables, jnp.asarray(images), (h1, w1), t, ys, xs, out_hw, n_seg
     )
 
 

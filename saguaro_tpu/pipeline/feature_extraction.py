@@ -95,24 +95,39 @@ def run_batch_processing(
     load_data_key_for_job,
     segmenter,
     feature_cfg: FeatureConfig | None = None,
+    resume: bool = True,
 ) -> dict[tuple[str, str], dict[str, str]]:
     """Walk the (plate x time) job grid — the fleet orchestrator's role
     (Feature_extraction_opt.py:73-145) without EC2/SSM: jobs run on the
     local TPU controller, outputs land at ``<base>/<plate>/<time>/``.
 
+    Multi-host: when launched on every host of a DCN slice, each host
+    deterministically takes its stride of the job grid
+    (parallel.distributed.partition_jobs); the manifest at
+    ``<base>/manifest.jsonl`` makes re-runs skip completed jobs.
+
     ``image_path_for_job(plate, time)`` and
     ``load_data_key_for_job(plate, time)`` encode the project's path
     conventions (the reference hardcodes them at :153-156).
     """
+    from saguaro_tpu.parallel.distributed import partition_jobs
+    from saguaro_tpu.pipeline.manifest import Manifest
+
     results = {}
     jobs = [(p, t) for p in plates for t in times]
-    logger.info("Generated %d jobs", len(jobs))
+    jobs = partition_jobs(jobs)
+    manifest = Manifest(bucket_path(base_output_path, "manifest.jsonl")) if resume else None
+    logger.info("Generated %d jobs (this host)", len(jobs))
     for plate, time in jobs:
-        logger.info("Job %s/%s", plate, time)
+        unit = f"{plate}/{time}"
+        if manifest is not None and manifest.is_done(unit):
+            logger.info("Job %s already complete; skipping (resume)", unit)
+            continue
+        logger.info("Job %s", unit)
         load_data = storage.read_csv_sniffed(
             bucket_path(bucket_name, load_data_key_for_job(plate, time))
         )
-        out = bucket_path(base_output_path, f"{plate}/{time}")
+        out = bucket_path(base_output_path, unit)
         results[(plate, time)] = run_feature_extraction_job(
             load_data,
             bucket_path(bucket_name, image_path_for_job(plate, time)),
@@ -121,4 +136,6 @@ def run_batch_processing(
             segmenter,
             feature_cfg,
         )
+        if manifest is not None:
+            manifest.mark_done(unit, n_sites=len(load_data))
     return results

@@ -29,6 +29,12 @@ import numpy as np
 import pandas as pd
 
 from saguaro_tpu.kernels.glcm import HARALICK_NAMES, haralick_features, object_glcm
+from saguaro_tpu.kernels.objects_extra import (
+    edge_intensity_features,
+    neighbor_features,
+    quantile_intensity_features,
+    radial_distribution_features,
+)
 from saguaro_tpu.kernels.morphology import (
     expand_labels,
     granularity_spectrum,
@@ -52,6 +58,12 @@ class FeatureConfig:
     secondary_iterations: int = 12
     granularity_length: int = 16
     measure_texture: bool = True
+    measure_quantiles: bool = True
+    measure_edge: bool = True
+    measure_radial: bool = True
+    measure_neighbors: bool = True
+    radial_rings: int = 4
+    neighbor_distance: int = 5
 
 
 @jax.jit
@@ -101,11 +113,30 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             feats[f"AreaShape_{k}"] = v
         feats["Location_Center_X"] = shape["Center_X"]
         feats["Location_Center_Y"] = shape["Center_Y"]
+        if cfg.measure_neighbors:
+            neigh = neighbor_features(labels, cfg.max_cells, cfg.neighbor_distance)
+            for k, v in neigh.items():
+                feats[f"Neighbors_{k}_{cfg.neighbor_distance}"] = v
         for c in range(n_ch):
             ch_name = cfg.channels[c]
             inten = intensity_features(image[..., c], labels, cfg.max_cells)
             for k, v in inten.items():
                 feats[f"Intensity_{k}_{ch_name}"] = v
+            if cfg.measure_quantiles:
+                quant = quantile_intensity_features(image[..., c], labels, cfg.max_cells)
+                for k, v in quant.items():
+                    feats[f"Intensity_{k}_{ch_name}"] = v
+            if cfg.measure_edge:
+                edge = edge_intensity_features(image[..., c], labels, cfg.max_cells)
+                for k, v in edge.items():
+                    feats[f"Intensity_{k}_{ch_name}"] = v
+            if cfg.measure_radial:
+                rad = radial_distribution_features(
+                    image[..., c], labels, cfg.max_cells, cfg.radial_rings
+                )
+                for r in range(cfg.radial_rings):
+                    feats[f"RadialDistribution_FracAtD_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["FracAtD"][:, r]
+                    feats[f"RadialDistribution_MeanFrac_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["MeanFrac"][:, r]
             if cfg.measure_texture:
                 glcms = object_glcm(
                     image[..., c], labels, cfg.max_cells, cfg.glcm_levels, cfg.texture_scale
@@ -163,6 +194,13 @@ def measure_site(
         df.insert(0, "ObjectNumber", present.astype(np.int64))
         df.insert(0, "ImageNumber", image_number)
         df["Number_Object_Number"] = present.astype(np.int64)
+        # CP parent/child relations: Cells grow from Nuclei seeds and share
+        # label ids; Cytoplasm is derived from Cells.
+        if obj_name == "Cells":
+            df["Parent_Nuclei"] = present.astype(np.int64)
+        elif obj_name == "Cytoplasm":
+            df["Parent_Cells"] = present.astype(np.int64)
+            df["Parent_Nuclei"] = present.astype(np.int64)
         for k, v in metadata.items():
             df[k] = v
         tables[obj_name] = df

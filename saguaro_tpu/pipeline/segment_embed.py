@@ -151,47 +151,60 @@ class SegmentEmbedEngine:
             labels = labels_low
         return relabel_consecutive(labels, min_size=cfg.min_size)
 
-    def segment_batch(self, images: np.ndarray) -> list[np.ndarray]:
-        """Batched segment: (B, H, W, C) -> list of B label masks.
+    def segment_batch(self, images) -> list:
+        """Batched segment: (B, H, W, C) -> list of B label masks (device
+        arrays at full resolution; use np.asarray to materialize).
 
         Tiles from the whole site batch feed the network as one device
         batch and the flow recovery for all sites runs as one program.
+        ``images`` may be a device array (preferred: ship raw data once)
+        or a numpy batch of any dtype.
         """
         cfg = self.cfg
+        images = jnp.asarray(images)
         n_seg = min(3, images.shape[-1])
-        primary = images[..., :n_seg].astype(np.float32).mean(axis=-1, keepdims=True)
-        net_in = np.concatenate([primary, np.zeros_like(primary)], axis=-1)
         flows, cellprob = segment_image_batch(
             self.cell_model.apply,
             self.cell_vars,
-            net_in,
+            images,
             cfg.cellpose,
             diameter=cfg.diameter,
             at_network_resolution=True,
+            n_seg=n_seg,
         )
+        flows = np.asarray(flows)  # small: network resolution
+        h1, w1 = flows.shape[2:]
+        h0, w0 = images.shape[1:3]
+        # min-size filtering happens at network resolution with an
+        # area-scaled threshold, so the expensive relabel/unique passes all
+        # run on the small label images; upsampling preserves compact ids.
+        scale = (h1 * w1) / (h0 * w0)
+        min_size_low = max(1, int(round(cfg.min_size * scale))) if cfg.min_size else 0
         labels_low = compute_masks_batch(
-            np.asarray(flows),
+            flows,
             np.asarray(cellprob),
             cellprob_threshold=cfg.cellprob_threshold,
             n_iters=cfg.flow_iters,
-            min_size=0,
+            min_size=min_size_low,
         )
-        h0, w0 = images.shape[1:3]
-        out = []
-        for lab in labels_low:
-            if lab.shape != (h0, w0):
-                lab = np.asarray(
-                    jax.image.resize(jnp.asarray(lab), (h0, w0), method="nearest")
-                )
-            out.append(relabel_consecutive(lab, min_size=cfg.min_size))
-        return out
+        if (h1, w1) == (h0, w0):
+            return labels_low
+        up = jax.image.resize(
+            jnp.asarray(np.stack(labels_low)), (len(labels_low), h0, w0), method="nearest"
+        )
+        return list(up)  # device arrays; downstream crops stay on device
 
     def process_site_batch(self, site_ids: list[int], images: np.ndarray) -> dict[int, dict]:
         """Batched consumer body: segment a same-shape site batch at once,
-        then crop+embed per site. Errors degrade per site."""
+        then crop+embed per site. Errors degrade per site.
+
+        The raw batch is shipped to the device ONCE; segmentation, crops
+        and embeddings all reuse that buffer (no label/image round-trips).
+        """
         results: dict[int, dict] = {}
+        images_dev = jnp.asarray(images)
         try:
-            labels_list = self.segment_batch(images)
+            labels_list = self.segment_batch(images_dev)
         except Exception as e:
             logger.error("batched segmentation failed (%s); falling back per-site", e)
             labels_list = []
@@ -201,9 +214,9 @@ class SegmentEmbedEngine:
                 except Exception as e2:
                     logger.error("segment failed: %s", e2)
                     labels_list.append(np.zeros(img.shape[:2], np.int32))
-        for sid, img, labels in zip(site_ids, images, labels_list):
+        for sid, img, labels in zip(site_ids, images_dev, labels_list):
             try:
-                if labels.max() == 0:
+                if int(jnp.max(jnp.asarray(labels))) == 0:
                     results[sid] = {"status": "empty", "n_cells": 0}
                     continue
                 feats, coords = self.embed_site(img, labels)
@@ -223,40 +236,45 @@ class SegmentEmbedEngine:
                 results[sid] = {"status": "empty", "n_cells": 0}
         return results
 
-    def embed_site(self, image: np.ndarray, labels: np.ndarray):
+    def embed_site(self, image, labels):
         """Crops + embeddings for one site.
 
         Returns (features (n_cells, C, 1280) float32, coords (n_cells, 2)).
+        Crops never leave the device: extraction, chunking and the
+        EfficientNet forward all run on device buffers; only the validity
+        mask, coords, and final embeddings cross to the host.
         """
         cfg = self.cfg
+        image = jnp.asarray(image, jnp.float32)
         n_ch = image.shape[-1]
         crops, valid, coords = extract_crops(
-            jnp.asarray(image, jnp.float32),
+            image,
             jnp.asarray(labels, jnp.int32),
             max_cells=cfg.max_cells,
             box=cfg.box_size,
         )
-        valid = np.asarray(valid)
-        idx = np.where(valid)[0]
+        valid_np = np.asarray(valid)
+        idx = np.where(valid_np)[0]
         if idx.size == 0:
             return (
                 np.zeros((0, n_ch, FEATURE_LENGTH), np.float32),
                 np.zeros((0, 2), np.int64),
             )
-        crops = np.asarray(crops)[idx]              # (n, box, box, C)
-        coords = np.asarray(coords)[idx]
-        # (n*C, box, box): per-cell per-channel crops, channel-major per cell
-        flat = np.moveaxis(crops, -1, 1).reshape(-1, cfg.box_size, cfg.box_size)
-        chunks = []
+        coords_np = np.asarray(coords)[idx]
+        # compact valid crops on device, then (n*C, box, box) channel-major
+        sel = jnp.take(crops, jnp.asarray(idx), axis=0)
+        flat = jnp.moveaxis(sel, -1, 1).reshape(-1, cfg.box_size, cfg.box_size)
+        n_flat = flat.shape[0]
         ck = cfg.embed_chunk
-        for s in range(0, flat.shape[0], ck):
-            part = flat[s : s + ck]
-            if part.shape[0] < ck:  # pad to static chunk shape
-                pad = np.zeros((ck - part.shape[0], *part.shape[1:]), part.dtype)
-                part = np.concatenate([part, pad])
-            chunks.append(np.asarray(self._embed(jnp.asarray(part))))
-        feats = np.concatenate(chunks)[: flat.shape[0]]
-        return feats.reshape(idx.size, n_ch, FEATURE_LENGTH), coords
+        n_pad = (-n_flat) % ck
+        if n_pad:
+            flat = jnp.pad(flat, ((0, n_pad), (0, 0), (0, 0)))
+        chunks = [
+            self._embed(jax.lax.slice_in_dim(flat, s, s + ck, axis=0))
+            for s in range(0, n_flat + n_pad, ck)
+        ]
+        feats = np.concatenate([np.asarray(c) for c in chunks])[:n_flat]
+        return feats.reshape(idx.size, n_ch, FEATURE_LENGTH), coords_np
 
     def score_dead(self, features: np.ndarray) -> np.ndarray:
         """(n, C, 1280) -> bool dead flags (preds > 0.5, reference :216)."""

@@ -32,6 +32,59 @@ class TestManifest:
         assert m2.pending(units) == ["site_0", "site_2", "site_4"]
 
 
+class TestConfig:
+    def test_yaml_stage_config(self, tmp_path):
+        from saguaro_tpu.config import load_stage_config
+        from saguaro_tpu.pipeline.features import FeatureConfig
+        from saguaro_tpu.pipeline.segment_embed import SegmentEmbedConfig
+
+        p = tmp_path / "suite.yaml"
+        p.write_text(
+            "channels: [DNA, GFP]\n"
+            "segment_embed:\n  diameter: 80\n  cellpose: {tile: 128}\n"
+            "features:\n  glcm_levels: 8\n"
+        )
+        cfg = load_stage_config(str(p), "segment_embed", SegmentEmbedConfig)
+        assert cfg.diameter == 80
+        assert cfg.channels == ["DNA", "GFP"]
+        assert cfg.cellpose.tile == 128
+        fc = load_stage_config(str(p), "features", FeatureConfig, channels=("DNA",))
+        assert fc.glcm_levels == 8
+        assert fc.channels == ("DNA",)  # override wins
+
+    def test_json_config(self, tmp_path):
+        from saguaro_tpu.config import load_config
+
+        p = tmp_path / "c.json"
+        p.write_text('{"channels": ["DNA"]}')
+        assert load_config(str(p)) == {"channels": ["DNA"]}
+
+
+class TestDistributed:
+    def test_partition_jobs(self):
+        from saguaro_tpu.parallel.distributed import partition_jobs
+
+        jobs = list(range(10))
+        p0 = partition_jobs(jobs, process_id=0, num_processes=3)
+        p1 = partition_jobs(jobs, process_id=1, num_processes=3)
+        p2 = partition_jobs(jobs, process_id=2, num_processes=3)
+        assert sorted(p0 + p1 + p2) == jobs
+        assert p0 == [0, 3, 6, 9]
+
+
+class TestDiscoverFolders:
+    def test_matches_reference_semantics(self, tmp_path):
+        from saguaro_tpu.io.storage import discover_folders
+
+        for sub in ("run/6h_P01/Image", "run/12h_P01/Image", "run/6h_P02/Image", "run/other"):
+            d = tmp_path / sub
+            d.mkdir(parents=True)
+            (d / "x.tiff").write_bytes(b"0")
+        found = discover_folders(str(tmp_path), ["P01"])
+        assert len(found) == 2
+        assert all("P01" in f for f in found)
+
+
 class TestStageTimer:
     def test_accumulates(self):
         t = StageTimer()
