@@ -62,6 +62,7 @@ class FeatureConfig:
     measure_edge: bool = True
     measure_radial: bool = True
     measure_neighbors: bool = True
+    measure_zernike: bool = True
     radial_rings: int = 4
     neighbor_distance: int = 5
 
@@ -113,6 +114,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             feats[f"AreaShape_{k}"] = v
         feats["Location_Center_X"] = shape["Center_X"]
         feats["Location_Center_Y"] = shape["Center_Y"]
+        if cfg.measure_zernike:
+            from saguaro_tpu.kernels.zernike import ZERNIKE_INDEXES, zernike_features
+
+            zmag = zernike_features(labels, cfg.max_cells)
+            for zi, (n, m) in enumerate(ZERNIKE_INDEXES):
+                feats[f"AreaShape_Zernike_{n}_{m}"] = zmag[:, zi]
         if cfg.measure_neighbors:
             neigh = neighbor_features(labels, cfg.max_cells, cfg.neighbor_distance)
             for k, v in neigh.items():

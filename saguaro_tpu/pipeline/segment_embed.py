@@ -345,28 +345,75 @@ def run_pipeline(
     engine: SegmentEmbedEngine | None = None,
     image_qc: pd.DataFrame | None = None,
     illum: list[np.ndarray | None] | None = None,
+    spill_dir: str | None = None,
 ) -> dict[str, str]:
     """End-to-end run, mirroring Cellpose_GPU_s3fs.main's outputs.
 
+    ``spill_dir``: when set, each completed site's features/coords/flags
+    are spilled as ``site_<id>.npz`` with a JSONL manifest — the
+    reference's npz spill (Cellpose_GPU_s3fs.py:218-223) made restartable:
+    a re-run with the same spill_dir loads completed sites from disk and
+    only computes the rest.
+
     Returns {output kind: path written}.
     """
+    import io as _io
+    import os
+
     outputs: dict[str, str] = {}
     if image_qc is not None:
         load_data = filter_qc_passing(load_data, image_qc)
     load_data = load_data.reset_index(drop=True)
 
+    manifest = None
+    results: dict[int, dict] = {}
+    if spill_dir:
+        from saguaro_tpu.pipeline.manifest import Manifest
+
+        manifest = Manifest(storage.join(spill_dir, "sites.jsonl"))
+        for idx in range(len(load_data)):
+            info = manifest.info(f"site_{idx}")
+            if info is None:
+                continue
+            if info.get("status") == "empty":
+                results[idx] = {"status": "empty", "n_cells": 0}
+            else:
+                data = np.load(
+                    _io.BytesIO(storage.read_bytes(storage.join(spill_dir, f"site_{idx}.npz")))
+                )
+                results[idx] = {
+                    "status": "success",
+                    "n_cells": int(info["n_cells"]),
+                    "features": data["features"],
+                    "coords": data["coords"],
+                    "is_dead": data["is_dead"],
+                }
+
     tasks = [
         (idx, site_image_paths(row, cfg.channels, data_base_path))
         for idx, row in load_data.iterrows()
+        if idx not in results
     ]
     n_ch = len(cfg.channels)
     engine = engine or SegmentEmbedEngine(cfg)
+
+    def record(batch_results: dict[int, dict]):
+        results.update(batch_results)
+        if manifest is None:  # NB: an empty Manifest is falsy via __len__
+            return
+        for sid, r in batch_results.items():
+            if r["status"] == "success":
+                buf = _io.BytesIO()
+                np.savez_compressed(
+                    buf, features=r["features"], coords=r["coords"], is_dead=r["is_dead"]
+                )
+                storage.write_bytes(storage.join(spill_dir, f"site_{sid}.npz"), buf.getvalue())
+            manifest.mark_done(f"site_{sid}", status=r["status"], n_cells=r["n_cells"])
 
     q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_workers * 2)
     _prefetch_sites(tasks, cfg.channels, illum, cfg.prefetch_workers, q)
 
     # consume: bucket same-shape sites into device batches (consumer role)
-    results: dict[int, dict] = {}
     buckets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
 
     def flush(shape_key):
@@ -375,12 +422,12 @@ def run_pipeline(
             return
         ids = [sid for sid, _ in items]
         imgs = np.stack([im for _, im in items])
-        results.update(engine.process_site_batch(ids, imgs))
+        record(engine.process_site_batch(ids, imgs))
 
     for _ in range(len(tasks)):
         site_id, image = q.get()
         if image is None or image.shape[-1] != n_ch:
-            results[site_id] = {"status": "empty", "n_cells": 0}
+            record({site_id: {"status": "empty", "n_cells": 0}})
             continue
         key = image.shape
         buckets.setdefault(key, []).append((site_id, image))
@@ -390,7 +437,7 @@ def run_pipeline(
         flush(key)
 
     # ---------------- result assembly (reference :326-471) ----------------
-    order = list(range(len(tasks)))
+    order = list(range(len(load_data)))  # includes spill-resumed sites
     site_features, site_coords, site_dead = [], [], []
     for i in order:
         r = results[i]
