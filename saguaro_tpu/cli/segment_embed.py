@@ -37,6 +37,12 @@ def main(argv=None):
                         help="Median object diameter in px (reference eval setting).")
     parser.add_argument("--max_cells", type=int, default=512,
                         help="Static per-site cell bound.")
+    parser.add_argument("--cellpose_checkpoint", type=str, default=None,
+                        help="saguaro_tpu U-Net checkpoint (see saguaro-train-segmenter).")
+    parser.add_argument("--effnet_checkpoint", type=str, default=None,
+                        help="saguaro_tpu EfficientNetV2 checkpoint.")
+    parser.add_argument("--spill_dir", type=str, default=None,
+                        help="Per-site npz spill + manifest for resumable runs.")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -70,10 +76,12 @@ def main(argv=None):
         save_coords=args.save_coords,
         single_cell=args.single_cell,
         xgb_model_path=args.xgb_model_path,
+        cellpose_checkpoint=args.cellpose_checkpoint,
+        effnet_checkpoint=args.effnet_checkpoint,
     )
     outputs = run_pipeline(
         load_data, args.data_base_path, cfg, args.out_data_path,
-        image_qc=image_qc, illum=illum,
+        image_qc=image_qc, illum=illum, spill_dir=args.spill_dir,
     )
     for kind, path in outputs.items():
         logging.info("%s -> %s", kind, path)

@@ -84,6 +84,8 @@ class SegmentEmbedConfig:
     save_coords: bool = False
     single_cell: bool = False
     xgb_model_path: str | None = None
+    cellpose_checkpoint: str | None = None   # saguaro_tpu checkpoint paths
+    effnet_checkpoint: str | None = None
     cellpose: CellposeConfig = field(default_factory=CellposeConfig)
     effnet: EffNetV2Config = field(default_factory=lambda: EFFNETV2_L)
 
@@ -94,8 +96,18 @@ class SegmentEmbedEngine:
     def __init__(self, cfg: SegmentEmbedConfig, cellpose_variables=None, effnet_variables=None, seed: int = 0):
         self.cfg = cfg
         self.cell_model, cp_vars = init_cellpose(cfg.cellpose, seed=seed)
-        self.cell_vars = cellpose_variables or cp_vars
         self.feat_model, en_vars = init_effnetv2(cfg.effnet, seed=seed)
+        if cellpose_variables is None and cfg.cellpose_checkpoint:
+            from saguaro_tpu.models.checkpoint import load_variables
+
+            cellpose_variables, _ = load_variables(cfg.cellpose_checkpoint, cp_vars)
+            logger.info("Loaded cellpose checkpoint %s", cfg.cellpose_checkpoint)
+        if effnet_variables is None and cfg.effnet_checkpoint:
+            from saguaro_tpu.models.checkpoint import load_variables
+
+            effnet_variables, _ = load_variables(cfg.effnet_checkpoint, en_vars)
+            logger.info("Loaded effnet checkpoint %s", cfg.effnet_checkpoint)
+        self.cell_vars = cellpose_variables or cp_vars
         self.feat_vars = effnet_variables or en_vars
         self.xgb = None
         if cfg.xgb_model_path:
