@@ -93,8 +93,19 @@ class SegmentEmbedConfig:
 class SegmentEmbedEngine:
     """Holds models + jitted programs; processes sites one by one."""
 
-    def __init__(self, cfg: SegmentEmbedConfig, cellpose_variables=None, effnet_variables=None, seed: int = 0):
+    def __init__(
+        self,
+        cfg: SegmentEmbedConfig,
+        cellpose_variables=None,
+        effnet_variables=None,
+        seed: int = 0,
+        mesh=None,
+    ):
+        """``mesh``: optional jax.sharding.Mesh — site batches are sharded
+        over its 'data' axis (params replicated), so one controller drives
+        every chip of a slice; XLA partitions the jitted programs."""
         self.cfg = cfg
+        self.mesh = mesh
         self.cell_model, cp_vars = init_cellpose(cfg.cellpose, seed=seed)
         self.feat_model, en_vars = init_effnetv2(cfg.effnet, seed=seed)
         if cellpose_variables is None and cfg.cellpose_checkpoint:
@@ -109,6 +120,11 @@ class SegmentEmbedEngine:
             logger.info("Loaded effnet checkpoint %s", cfg.effnet_checkpoint)
         self.cell_vars = cellpose_variables or cp_vars
         self.feat_vars = effnet_variables or en_vars
+        if mesh is not None:
+            from saguaro_tpu.parallel.mesh import replicate
+
+            self.cell_vars = replicate(self.cell_vars, mesh)
+            self.feat_vars = replicate(self.feat_vars, mesh)
         self.xgb = None
         if cfg.xgb_model_path:
             from saguaro_tpu.models.xgb import XGBEnsemble
@@ -173,7 +189,12 @@ class SegmentEmbedEngine:
         or a numpy batch of any dtype.
         """
         cfg = self.cfg
-        images = jnp.asarray(images)
+        if self.mesh is not None:
+            from saguaro_tpu.parallel.mesh import shard_batch
+
+            images = shard_batch(images, self.mesh)
+        else:
+            images = jnp.asarray(images)
         n_seg = min(3, images.shape[-1])
         flows, cellprob = segment_image_batch(
             self.cell_model.apply,

@@ -1,0 +1,83 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item 4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from saguaro_tpu.parallel.mesh import (
+    batch_sharding,
+    fsdp_param_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+class TestMeshPrimitives:
+    def test_shard_batch_layout(self, mesh8, rng):
+        x = rng.normal(size=(16, 32, 32)).astype(np.float32)
+        sharded = shard_batch(x, mesh8)
+        assert len(sharded.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(sharded), x)
+
+    def test_replicate(self, mesh8, rng):
+        tree = {"w": rng.normal(size=(8, 8)).astype(np.float32)}
+        rep = replicate(tree, mesh8)
+        assert rep["w"].sharding.is_fully_replicated
+
+    def test_fsdp_sharding_splits_large(self, rng):
+        mesh = make_mesh(8, model=2)
+        tree = {
+            "big": rng.normal(size=(256, 512)).astype(np.float32),
+            "small": rng.normal(size=(4,)).astype(np.float32),
+        }
+        out = fsdp_param_sharding(tree, mesh, min_size=1024)
+        assert not out["big"].sharding.is_fully_replicated
+        assert out["small"].sharding.is_fully_replicated
+
+    def test_sharded_computation_matches_single(self, mesh8, rng):
+        from saguaro_tpu.kernels.qc import qc_metrics_batch
+
+        imgs = rng.integers(0, 4095, (8, 96, 96)).astype(np.float64)
+        ref_slopes, ref_pcts = (np.asarray(a) for a in qc_metrics_batch(imgs))
+        sharded = shard_batch(imgs, mesh8)
+        s_slopes, s_pcts = (np.asarray(a) for a in qc_metrics_batch(sharded))
+        np.testing.assert_allclose(s_slopes, ref_slopes, rtol=1e-5)
+        np.testing.assert_allclose(s_pcts, ref_pcts, rtol=1e-6)
+
+
+class TestMeshEngine:
+    def test_segment_batch_sharded_matches_unsharded(self, mesh8, rng):
+        from saguaro_tpu.models.cellpose import CellposeConfig
+        from saguaro_tpu.models.effnetv2 import EffNetV2Config, StageSpec
+        from saguaro_tpu.pipeline.segment_embed import (
+            SegmentEmbedConfig,
+            SegmentEmbedEngine,
+        )
+
+        cfg = SegmentEmbedConfig(
+            channels=["DNA", "GFP"], diameter=None, box_size=32, max_cells=16,
+            embed_chunk=8, embed_size=64, flow_iters=30, min_size=3,
+            cellpose=CellposeConfig(tile=64, features=(4, 8, 16, 32)),
+            effnet=EffNetV2Config(
+                stem_filters=4,
+                stages=(StageSpec("fused", 1, 3, 1, 4, 1),),
+                head_filters=1280, input_size=64,
+            ),
+        )
+        single = SegmentEmbedEngine(cfg, seed=0)
+        sharded = SegmentEmbedEngine(
+            cfg, cellpose_variables=single.cell_vars,
+            effnet_variables=single.feat_vars, seed=0, mesh=mesh8,
+        )
+        batch = rng.integers(0, 4000, (8, 64, 64, 2)).astype(np.uint16)
+        a = [np.asarray(x) for x in single.segment_batch(batch)]
+        b = [np.asarray(x) for x in sharded.segment_batch(batch)]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
