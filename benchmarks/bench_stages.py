@@ -18,10 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timeit(fn, iters=3):
-    fn()  # warmup/compile
+    """fn must RETURN its result; we materialize it on host every
+    iteration — block_until_ready alone under-measures through this
+    environment's device relay."""
+    np.asarray(fn())  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        fn()
+        np.asarray(fn())
     return (time.perf_counter() - t0) / iters
 
 
@@ -34,7 +37,7 @@ def bench_maxproj():
     import jax.numpy as jnp
 
     stacks = jnp.asarray(rng.integers(0, 4095, (32, 5, 1080, 1080)).astype(np.uint16))
-    dt = _timeit(lambda: jax.block_until_ready(max_project_batch(stacks)))
+    dt = _timeit(lambda: max_project_batch(stacks))
     return {"stage": "maxproj_1080px_z5", "value": round(32 / dt, 2), "unit": "projections/sec"}
 
 
@@ -47,8 +50,8 @@ def bench_rebin():
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(0, 65535, (16, 2160, 2160)).astype(np.uint16))
-    dt_x = _timeit(lambda: jax.block_until_ready(lanczos_resize_batch(batch, (1080, 1080))), 5)
-    dt_p = _timeit(lambda: jax.block_until_ready(lanczos_resize_batch_pallas(batch, (1080, 1080))), 5)
+    dt_x = _timeit(lambda: lanczos_resize_batch(batch, (1080, 1080)), 5)
+    dt_p = _timeit(lambda: lanczos_resize_batch_pallas(batch, (1080, 1080)), 5)
     return {
         "stage": "rebin_2160_to_1080",
         "value": round(16 / dt_p, 2),
@@ -66,7 +69,7 @@ def bench_qc():
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 4095, (16, 1080, 1080)).astype(np.float32))
-    dt = _timeit(lambda: jax.block_until_ready(qc_metrics_batch(imgs)[0]), 5)
+    dt = _timeit(lambda: qc_metrics_batch(imgs)[0], 5)
     return {"stage": "qc_powerloglog_1080px", "value": round(16 / dt, 2), "unit": "images/sec"}
 
 
@@ -82,10 +85,12 @@ def bench_embed():
     crops = jnp.asarray(rng.integers(0, 4095, (chunk, 200, 200)).astype(np.float32))
 
     @jax.jit
-    def embed(c):
-        return model.apply(variables, preprocess_crops(c, 480))
+    def embed(v, c):
+        # variables as an argument: closure capture would bake 118M params
+        # into the HLO as constants
+        return model.apply(v, preprocess_crops(c, 480))
 
-    dt = _timeit(lambda: jax.block_until_ready(embed(crops)), 3)
+    dt = _timeit(lambda: embed(variables, crops), 3)
     return {
         "stage": "effnetv2l_embed_200px_crops",
         "value": round(chunk / dt, 2),
@@ -101,7 +106,7 @@ def bench_segment():
     engine = SegmentEmbedEngine(cfg, seed=0)
     rng = np.random.default_rng(0)
     batch = rng.integers(80, 4000, (cfg.site_batch, 1080, 1080, 2)).astype(np.uint16)
-    dt = _timeit(lambda: engine.segment_batch(batch), 3)
+    dt = _timeit(lambda: np.stack([np.asarray(x) for x in engine.segment_batch(batch)]), 3)
     return {
         "stage": "segment_1080px_batch",
         "value": round(cfg.site_batch / dt, 3),

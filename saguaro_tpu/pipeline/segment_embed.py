@@ -130,12 +130,17 @@ class SegmentEmbedEngine:
             from saguaro_tpu.models.xgb import XGBEnsemble
 
             self.xgb = XGBEnsemble.from_json(cfg.xgb_model_path)
-        self._embed = jax.jit(self._embed_chunk)
+        # NB: variables are a jit ARGUMENT, not a closure capture — closure
+        # capture bakes the (potentially 100M+ param) weights into the HLO
+        # as constants, exploding compile size.
+        embed_size = cfg.embed_size
+        apply_fn = self.feat_model.apply
 
-    def _embed_chunk(self, crops: jax.Array) -> jax.Array:
-        """(chunk, box, box) single-channel crops -> (chunk, 1280)."""
-        x = preprocess_crops(crops, self.cfg.embed_size)
-        return self.feat_model.apply(self.feat_vars, x)
+        @jax.jit
+        def _embed_with_vars(variables, crops):
+            return apply_fn(variables, preprocess_crops(crops, embed_size))
+
+        self._embed = lambda crops: _embed_with_vars(self.feat_vars, crops)
 
     # ---------------- per-site device path ----------------
 
