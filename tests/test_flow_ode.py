@@ -6,6 +6,7 @@ label image.
 """
 
 import numpy as np
+import pytest
 
 from saguaro_tpu.kernels.flow_ode import (
     centroid_flows,
@@ -33,11 +34,12 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class TestFlowRecovery:
-    def test_recovers_disks(self):
+    @pytest.mark.parametrize("method", ["euler", "pointer"])
+    def test_recovers_disks(self, method):
         gt = _disk_labels()
         flows = centroid_flows(gt) * 5.0  # network emits 5x-scaled flows
         cellprob = np.where(gt > 0, 5.0, -5.0)
-        masks = compute_masks(flows, cellprob, n_iters=120)
+        masks = compute_masks(flows, cellprob, n_iters=120, method=method)
         assert masks.max() == 5
         # each GT cell maps to exactly one recovered label with high IoU
         for lab in range(1, 6):
@@ -46,6 +48,25 @@ class TestFlowRecovery:
             best = ids[np.argmax(counts)]
             assert best > 0
             assert _iou(m_gt, masks == best) > 0.95
+
+    def test_pointer_matches_euler_on_batch(self):
+        from saguaro_tpu.kernels.flow_ode import compute_masks_batch
+
+        gt = _disk_labels()
+        flows = centroid_flows(gt) * 5.0
+        cellprob = np.where(gt > 0, 5.0, -5.0)
+        fb = np.stack([flows, flows])
+        cb = np.stack([cellprob, cellprob])
+        a = compute_masks_batch(fb, cb, n_iters=120, method="euler")
+        b = compute_masks_batch(fb, cb, n_iters=120, method="pointer")
+        for x, y in zip(a, b):
+            # same cells found; per-cell IoU between the two integrators high
+            assert x.max() == y.max() == 5
+            for lab in range(1, 6):
+                m = x == lab
+                ids, counts = np.unique(y[m], return_counts=True)
+                best = ids[np.argmax(counts)]
+                assert _iou(m, y == best) > 0.9
 
     def test_inactive_pixels_stay(self):
         gt = _disk_labels()
