@@ -77,6 +77,7 @@ class SegmentEmbedConfig:
     embed_size: int = 480              # model input resolution
     cellprob_threshold: float = 0.0
     flow_iters: int = 200
+    flow_error_threshold: float | None = 0.4  # cellpose's bad-flow QC
     min_size: int = 15
     site_batch: int = 8                # sites per batched device program
     prefetch_workers: int = 8          # host I/O threads (producer role)
@@ -184,6 +185,28 @@ class SegmentEmbedEngine:
             labels = labels_low
         return relabel_consecutive(labels, min_size=cfg.min_size)
 
+    def _drop_bad_flow_masks(self, labels: np.ndarray, flows: np.ndarray) -> np.ndarray:
+        """Cellpose's flow-error QC: remove masks whose recovered shape is
+        inconsistent with the predicted flow field (error > threshold)."""
+        from saguaro_tpu.kernels.flow_ode import flow_qc_error
+
+        labels = np.asarray(labels)
+        n = int(labels.max())
+        if n == 0:
+            return labels
+        err, cnt = flow_qc_error(
+            jnp.asarray(labels), jnp.asarray(flows), max_cells=self.cfg.max_cells
+        )
+        err = np.asarray(err)
+        bad = np.where((err > self.cfg.flow_error_threshold) & (np.arange(len(err)) > 0))[0]
+        bad = bad[bad <= n]
+        if bad.size == 0:
+            return labels
+        lut = np.arange(n + 1, dtype=labels.dtype)
+        lut[bad] = 0
+        out = lut[labels]
+        return relabel_consecutive(out)
+
     def segment_batch(self, images) -> list:
         """Batched segment: (B, H, W, C) -> list of B label masks (device
         arrays at full resolution; use np.asarray to materialize).
@@ -225,6 +248,11 @@ class SegmentEmbedEngine:
             n_iters=cfg.flow_iters,
             min_size=min_size_low,
         )
+        if cfg.flow_error_threshold is not None:
+            labels_low = [
+                self._drop_bad_flow_masks(lab, flows[i] / 5.0)
+                for i, lab in enumerate(labels_low)
+            ]
         if (h1, w1) == (h0, w0):
             return labels_low
         up = jax.image.resize(
