@@ -19,7 +19,17 @@ __all__ = ["imread", "imwrite", "decode", "encode"]
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode TIFF/PNG/JPEG bytes to an array."""
+    """Decode TIFF/PNG/JPEG bytes to an array.
+
+    TIFFs try the native GIL-free decoder first (io/fast_tiff.py) so
+    prefetch threads decode in parallel; anything it doesn't cover falls
+    back to imageio."""
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from saguaro_tpu.io import fast_tiff
+
+        out = fast_tiff.decode(data)
+        if out is not None:
+            return out
     import imageio.v3 as iio
 
     return np.asarray(iio.imread(io.BytesIO(data)))
