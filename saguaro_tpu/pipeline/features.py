@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from saguaro_tpu.kernels.glcm import HARALICK_NAMES, haralick_features, object_glcm
+from saguaro_tpu.kernels.glcm import (
+    HARALICK_NAMES,
+    haralick_features,
+    object_glcm,
+    object_glcm_multichannel,
+)
 from saguaro_tpu.kernels.objects_extra import (
     edge_intensity_features,
     neighbor_features,
@@ -124,6 +129,21 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             neigh = neighbor_features(labels, cfg.max_cells, cfg.neighbor_distance)
             for k, v in neigh.items():
                 feats[f"Neighbors_{k}_{cfg.neighbor_distance}"] = v
+        if cfg.measure_texture:
+            # per-channel banded one-hot GLCM: measured faster than the
+            # fused multichannel variant (whose (chunk, C*4L^2) one-hot
+            # blows HBM traffic); object_glcm_multichannel remains
+            # available for small channel counts
+            for c in range(n_ch):
+                glcms = object_glcm(
+                    image[..., c], labels, cfg.max_cells, cfg.glcm_levels, cfg.texture_scale
+                )
+                har = haralick_features(glcms)  # each (4, max_cells)
+                for k in HARALICK_NAMES:
+                    for d in range(4):
+                        feats[
+                            f"Texture_{k}_{cfg.channels[c]}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
+                        ] = har[k][d]
         for c in range(n_ch):
             ch_name = cfg.channels[c]
             inten = intensity_features(image[..., c], labels, cfg.max_cells)
@@ -144,16 +164,6 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 for r in range(cfg.radial_rings):
                     feats[f"RadialDistribution_FracAtD_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["FracAtD"][:, r]
                     feats[f"RadialDistribution_MeanFrac_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["MeanFrac"][:, r]
-            if cfg.measure_texture:
-                glcms = object_glcm(
-                    image[..., c], labels, cfg.max_cells, cfg.glcm_levels, cfg.texture_scale
-                )
-                har = haralick_features(glcms)  # each (4, max_cells)
-                for k in HARALICK_NAMES:
-                    for d in range(4):
-                        feats[
-                            f"Texture_{k}_{ch_name}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
-                        ] = har[k][d]
         for a in range(n_ch):
             for b in range(a + 1, n_ch):
                 corr = correlation_features(
