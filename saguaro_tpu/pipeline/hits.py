@@ -63,7 +63,10 @@ def run_induction_hit(
     )
     outputs: dict[str, object] = {"plots": []}
 
-    # per-plate DMSO induction distribution histograms
+    # per-plate DMSO induction distribution histograms (seaborn KDE
+    # histplot like the reference, Inuction_Score_hit.py:91)
+    import seaborn as sns
+
     dmso_rows = sig_ind[sig_ind["Metadata_Compound"] == dmso]
     for plate_id in dmso_rows["Metadata_Plate"].unique():
         plt.figure(figsize=(12, 8))
@@ -72,9 +75,14 @@ def run_induction_hit(
             vals = plate_data[plate_data["Metadata_Timepoint"] == tp]["induction"]
             thr = thresholds.get((plate_id, tp))
             label = f"Timepoint {tp}" + (f" (thresh={thr:.2f})" if thr is not None else "")
-            plt.hist(vals, bins=100, alpha=0.6, label=label)
+            try:
+                ax = sns.histplot(vals, bins=100, kde=True, label=label, alpha=0.6)
+                color = ax.get_lines()[-1].get_c() if ax.get_lines() else None
+            except Exception:  # degenerate data (constant values) breaks KDE
+                plt.hist(vals, bins=100, alpha=0.6, label=label)
+                color = None
             if thr is not None:
-                plt.axvline(x=thr, linestyle="--", linewidth=2)
+                plt.axvline(x=thr, color=color, linestyle="--", linewidth=2)
         plt.xlabel("Induction Score")
         plt.ylabel("Frequency")
         plt.title(f"DMSO Induction Distribution for Plate: {plate_id}")
@@ -145,14 +153,24 @@ def run_induction_hit(
         if data.empty:
             continue
         data["Bioactive"] = (data > 0).any(axis=1).astype(int)
+        import seaborn as sns
+
         plt.figure(figsize=(10, max(2, min(20, 0.2 * len(data)))))
-        plt.imshow(data.to_numpy(), cmap=matplotlib.colors.ListedColormap(["lightgrey", "black"]),
-                   aspect="auto", vmin=0, vmax=1)
-        plt.xticks(range(len(data.columns)), data.columns, rotation=45, ha="right", fontsize=10)
-        plt.yticks(range(len(data.index)), data.index, fontsize=6)
+        sns.heatmap(
+            data,
+            cmap=sns.color_palette(["lightgrey", "black"]),
+            linewidths=0.5,
+            linecolor="black",
+            cbar=False,
+            annot=False,
+            xticklabels=True,
+            yticklabels=True,
+        )
         plt.title(f"Compound Bioactivity by Timepoint (Plate: {plate_id})", fontsize=12, pad=10)
         plt.xlabel("Timepoint")
         plt.ylabel("Compound")
+        plt.xticks(rotation=45, ha="right", fontsize=10)
+        plt.yticks(fontsize=6)
         outputs["plots"].append(
             _save_fig(bucket_name, f"{output_prefix}/compound_bioactivity_heatmap_plate_{plate_id}.png")
         )
