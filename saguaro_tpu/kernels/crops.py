@@ -33,7 +33,9 @@ def label_centroids(labels: jax.Array, max_cells: int = 1024):
     count forced to 0).
     """
     h, w = labels.shape
-    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1)
+    flat = labels.reshape(-1)
+    # ids >= max_cells go to the ignored background bin, never to cell max_cells-1
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )

@@ -72,29 +72,13 @@ def _bilinear(field: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("n_iters",))
 def follow_flows(flows: jax.Array, active: jax.Array, n_iters: int = 200) -> jax.Array:
-    """Integrate pixel positions along the flow field.
+    """Integrate pixel positions along the flow field (stepwise Euler).
 
     flows: (2, H, W) [dy, dx] pointing toward cell centers (unit-scale);
     active: (H, W) bool — pixels to advect (inactive pixels don't move).
     Returns final positions (2, H, W) float32.
     """
-    h, w = flows.shape[1:]
-    fy = jnp.where(active, flows[0], 0.0).astype(jnp.float32)
-    fx = jnp.where(active, flows[1], 0.0).astype(jnp.float32)
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
-    )
-    p0 = jnp.stack([yy.reshape(-1), xx.reshape(-1)])
-
-    def step(_, p):
-        dy = _bilinear(fy, p[0], p[1])
-        dx = _bilinear(fx, p[0], p[1])
-        py = jnp.clip(p[0] + dy, 0.0, h - 1.0)
-        px = jnp.clip(p[1] + dx, 0.0, w - 1.0)
-        return jnp.stack([py, px])
-
-    p = jax.lax.fori_loop(0, n_iters, step, p0)
-    return p.reshape(2, h, w)
+    return _follow_body(flows, active, n_iters)
 
 
 def _maxpool2d(x: jax.Array, k: int) -> jax.Array:
@@ -186,7 +170,10 @@ def flow_qc_error(
     counts (max_cells,)) indexed by a host-side compact relabeling.
     """
     h, w = labels.shape
-    seg = labels.reshape(-1).astype(jnp.int32) % max_cells
+    flat = labels.reshape(-1).astype(jnp.int32)
+    # overflow ids -> ignored background bin (modulo would alias them onto
+    # valid low ids and corrupt their flow-error scores)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )

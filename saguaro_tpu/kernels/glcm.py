@@ -45,7 +45,9 @@ _DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
 
 
 def _quantize(image, labels, max_cells, levels):
-    lab = jnp.clip(labels, 0, max_cells - 1).astype(jnp.int32)
+    lab32 = labels.astype(jnp.int32)
+    # overflow ids map to background (bin 0, ignored downstream)
+    lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
     inside = labels > 0
     cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
     vrange = jnp.maximum(vmax - vmin, 1e-12)
@@ -163,7 +165,8 @@ def object_glcm_multichannel(
     n_ch = image.shape[-1]
     L2 = levels * levels
     per_ch = []
-    lab = jnp.clip(labels, 0, max_cells - 1).astype(jnp.int32)
+    lab32 = labels.astype(jnp.int32)
+    lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
     for c in range(n_ch):
         lab_c, inside, q = _quantize(image[..., c], labels, max_cells, levels)
         codes, oks = _direction_codes(lab_c, inside, q, levels, distance)

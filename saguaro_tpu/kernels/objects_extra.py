@@ -38,7 +38,8 @@ _NBINS = 256
 def quantile_intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 1024):
     """Median/MAD/LowerQuartile/UpperQuartile intensity per object via
     per-object histograms (256 bins over the object's own range)."""
-    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    flat = labels.reshape(-1).astype(jnp.int32)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1)
     v = image.reshape(-1).astype(jnp.float32)
 
@@ -124,7 +125,8 @@ def radial_distribution_features(
     object's max centroid distance): FracAtD (fraction of total intensity)
     and MeanFrac (FracAtD normalized by the ring's pixel fraction)."""
     h, w = labels.shape
-    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    flat = labels.reshape(-1).astype(jnp.int32)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1).astype(jnp.float32)
     v = image.reshape(-1).astype(jnp.float32) * inside
 

@@ -27,7 +27,11 @@ __all__ = [
 
 
 def _flat(labels: jax.Array, max_cells: int) -> jax.Array:
-    return jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    """Flatten labels, routing ids >= max_cells to the (ignored) background
+    bin 0 — clipping instead would silently merge every overflow cell into
+    cell max_cells-1 and corrupt its measurements."""
+    flat = labels.reshape(-1).astype(jnp.int32)
+    return jnp.where((flat > 0) & (flat < max_cells), flat, 0)
 
 
 @partial(jax.jit, static_argnames=("max_cells",))

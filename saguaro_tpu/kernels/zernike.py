@@ -49,7 +49,8 @@ def _radial_coeffs() -> np.ndarray:
 def zernike_features(labels: jax.Array, max_cells: int = 1024) -> jax.Array:
     """(H, W) labels -> (max_cells, 30) Zernike magnitudes per object."""
     h, w = labels.shape
-    seg = jnp.clip(labels.reshape(-1), 0, max_cells - 1).astype(jnp.int32)
+    flat = labels.reshape(-1).astype(jnp.int32)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1).astype(jnp.float32)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"

@@ -29,16 +29,25 @@ def maybe_initialize(
 
     No-op for single-host runs (the common case on one chip/slice); on a
     multi-host slice with TPU metadata the arguments auto-populate.
+
+    NOTE: this must run before ANY backend-initializing JAX call —
+    including jax.process_count()/jax.devices() — so the already-initialized
+    case is detected by catching initialize()'s own error, not by probing.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes is None:
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg or "initialise" in msg or "initialize" in msg:
+            logger.warning("jax.distributed.initialize skipped: %s", e)
+            return
+        raise
     logger.info(
         "jax.distributed: process %d/%d, %d local devices",
         jax.process_index(),

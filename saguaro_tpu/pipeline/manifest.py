@@ -40,13 +40,18 @@ class Manifest:
     def mark_done(self, unit: str, **info) -> None:
         rec = {"unit": unit, "ts": time.time(), **info}
         self._done[unit] = rec
-        # append-only write (read-modify-write for object stores)
-        existing = b""
-        if storage.exists(self.path):
-            existing = storage.read_bytes(self.path)
-        storage.write_bytes(
-            self.path, existing + (json.dumps(rec) + "\n").encode("utf-8")
-        )
+        line = (json.dumps(rec) + "\n").encode("utf-8")
+        try:
+            # true append where the filesystem supports it (local, most
+            # fsspec backends) — O(1) per unit instead of O(n) rewrites
+            with storage.open_file(self.path, "ab") as f:
+                f.write(line)
+        except Exception:
+            # object stores without append: full rewrite from memory
+            blob = "".join(
+                json.dumps(r) + "\n" for r in self._done.values()
+            ).encode("utf-8")
+            storage.write_bytes(self.path, blob)
 
     def info(self, unit: str) -> dict | None:
         return self._done.get(unit)

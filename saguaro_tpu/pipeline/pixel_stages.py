@@ -169,6 +169,18 @@ def run_rebin(
     pending: dict[tuple, list[tuple[str, np.ndarray]]] = defaultdict(list)
 
     resize = _rebin_backend()
+    # the reference rewrites only the S3 KEY, never the bucket
+    # (Image_re-binning.py:53) — scope the replace to the path from the
+    # image_folder onward so a base dir containing 'Image' is never renamed
+    folder_marker = image_folder.strip("/").split("/")[-1] or image_folder
+
+    def rewrite(key: str) -> str:
+        # from the folder onward (folder + filename), replace like the
+        # reference's obj.key.replace; everything before stays untouched
+        idx = key.find(folder_marker)
+        if idx < 0:
+            return key.replace("Image", "Image_binned")
+        return key[:idx] + key[idx:].replace("Image", "Image_binned")
 
     def flush(shape_key):
         nonlocal n_done
@@ -178,8 +190,7 @@ def run_rebin(
         batch = np.stack([im for _, im in items])
         out = np.asarray(resize(batch, (resolution, resolution)))
         for (key, _), img in zip(items, out):
-            new_key = key.replace("Image", "Image_binned")
-            tiff.imwrite(new_key, img, compression="lzw")
+            tiff.imwrite(rewrite(key), img, compression="lzw")
             n_done += 1
 
     for path in storage.list_prefix(prefix):

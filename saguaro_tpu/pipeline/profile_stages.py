@@ -35,6 +35,7 @@ from saguaro_tpu.ops.aggregate import (
     drop_admin_columns,
     failing_image_numbers,
     merge_tables,
+    prefix_features,
 )
 from saguaro_tpu.ops.normalize import split_feature_columns
 from saguaro_tpu.pipeline.pixel_stages import bucket_path
@@ -111,9 +112,7 @@ def run_normalize_cp(
                 df = tables[name]
                 keep = {"Metadata_Well", "Metadata_Site"} if qc_drop else {"Metadata_Well"}
                 df = drop_admin_columns(df, keep)
-                df = df.rename(
-                    columns=lambda x: x if x.startswith("Metadata_") else prefix + x
-                )
+                df = prefix_features(df, prefix)
                 if qc_drop:
                     df = compensate_missing_sites(df)
                 tables[name] = aggregate_wells(df, well_agg_func)

@@ -268,18 +268,19 @@ class SegmentEmbedEngine:
         and embeddings all reuse that buffer (no label/image round-trips).
         """
         results: dict[int, dict] = {}
-        images_dev = jnp.asarray(images)
         try:
+            images_dev = jnp.asarray(images)
             labels_list = self.segment_batch(images_dev)
         except Exception as e:
             logger.error("batched segmentation failed (%s); falling back per-site", e)
+            images_dev = images
             labels_list = []
             for img in images:
                 try:
-                    labels_list.append(self.segment(img))
+                    labels_list.append(self.segment(np.asarray(img)))
                 except Exception as e2:
                     logger.error("segment failed: %s", e2)
-                    labels_list.append(np.zeros(img.shape[:2], np.int32))
+                    labels_list.append(np.zeros(np.asarray(img).shape[:2], np.int32))
         for sid, img, labels in zip(site_ids, images_dev, labels_list):
             try:
                 if int(jnp.max(jnp.asarray(labels))) == 0:
@@ -431,6 +432,15 @@ def run_pipeline(
         load_data = filter_qc_passing(load_data, image_qc)
     load_data = load_data.reset_index(drop=True)
 
+    # Spill keys are content-based (well + site + filenames), NOT positional
+    # row indices: a re-run whose QC filtering or row order differs must not
+    # attach cached features to the wrong wells.
+    def spill_key(idx: int) -> str:
+        row = load_data.iloc[idx]
+        parts = [str(row[c]) for c in ("Metadata_Well", "Metadata_Site") if c in row.index]
+        parts += [str(row[c]) for c in load_data.columns if c.startswith("FileName_")]
+        return "site_" + "_".join(parts).replace("/", "_") if parts else f"site_{idx}"
+
     manifest = None
     results: dict[int, dict] = {}
     if spill_dir:
@@ -438,14 +448,15 @@ def run_pipeline(
 
         manifest = Manifest(storage.join(spill_dir, "sites.jsonl"))
         for idx in range(len(load_data)):
-            info = manifest.info(f"site_{idx}")
+            key = spill_key(idx)
+            info = manifest.info(key)
             if info is None:
                 continue
             if info.get("status") == "empty":
                 results[idx] = {"status": "empty", "n_cells": 0}
             else:
                 data = np.load(
-                    _io.BytesIO(storage.read_bytes(storage.join(spill_dir, f"site_{idx}.npz")))
+                    _io.BytesIO(storage.read_bytes(storage.join(spill_dir, f"{key}.npz")))
                 )
                 results[idx] = {
                     "status": "success",
@@ -468,13 +479,14 @@ def run_pipeline(
         if manifest is None:  # NB: an empty Manifest is falsy via __len__
             return
         for sid, r in batch_results.items():
+            key = spill_key(sid)
             if r["status"] == "success":
                 buf = _io.BytesIO()
                 np.savez_compressed(
                     buf, features=r["features"], coords=r["coords"], is_dead=r["is_dead"]
                 )
-                storage.write_bytes(storage.join(spill_dir, f"site_{sid}.npz"), buf.getvalue())
-            manifest.mark_done(f"site_{sid}", status=r["status"], n_cells=r["n_cells"])
+                storage.write_bytes(storage.join(spill_dir, f"{key}.npz"), buf.getvalue())
+            manifest.mark_done(key, status=r["status"], n_cells=r["n_cells"])
 
     q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_workers * 2)
     _prefetch_sites(tasks, cfg.channels, illum, cfg.prefetch_workers, q)
@@ -487,8 +499,12 @@ def run_pipeline(
         if not items:
             return
         ids = [sid for sid, _ in items]
-        imgs = np.stack([im for _, im in items])
-        record(engine.process_site_batch(ids, imgs))
+        try:
+            imgs = np.stack([im for _, im in items])
+            record(engine.process_site_batch(ids, imgs))
+        except Exception as e:  # degrade-per-site: a bad batch never kills the run
+            logger.error("site batch %s failed (%s); recording empty results", ids, e)
+            record({sid: {"status": "empty", "n_cells": 0} for sid in ids})
 
     for _ in range(len(tasks)):
         site_id, image = q.get()

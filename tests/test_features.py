@@ -176,6 +176,41 @@ class TestMorphology:
         assert (img > thr).sum() == 500
 
 
+class TestLabelOverflow:
+    """Labels >= max_cells must be IGNORED (background bin), never merged
+    into cell max_cells-1 (review finding: silent measurement corruption)."""
+
+    def test_centroids_ignore_overflow(self, rng):
+        labels = np.zeros((64, 64), np.int32)
+        labels[_disk(64, 64, 20, 20, 6)] = 7      # valid (max_cells=8)
+        labels[_disk(64, 64, 45, 45, 6)] = 7 + 8  # overflow id 15
+        cy, cx, cnt = (np.asarray(a) for a in label_centroids(labels, 8))
+        assert (cy[7], cx[7]) == (20, 20)         # NOT dragged toward (45,45)
+        assert cnt[7] == (labels == 7).sum()
+
+    def test_intensity_ignores_overflow(self, rng):
+        labels = np.zeros((64, 64), np.int32)
+        labels[_disk(64, 64, 20, 20, 6)] = 7
+        labels[_disk(64, 64, 45, 45, 6)] = 15     # aliases 7 under clipping
+        img = np.ones((64, 64), np.float32)
+        img[labels == 15] = 1000.0
+        feats = intensity_features(img, labels, 8)
+        assert float(feats["MeanIntensity"][7]) == pytest.approx(1.0)
+
+    def test_flow_qc_ignores_overflow(self):
+        from saguaro_tpu.kernels.flow_ode import flow_qc_error
+
+        labels = np.zeros((64, 64), np.int32)
+        labels[_disk(64, 64, 20, 20, 6)] = 1
+        labels[_disk(64, 64, 45, 45, 6)] = 9  # > max_cells=8; old %-mapping aliased to 1
+        from saguaro_tpu.kernels.flow_ode import centroid_flows
+
+        flows = centroid_flows(np.where(labels == 1, 1, 0).astype(np.int32))
+        err, cnt = (np.asarray(a) for a in flow_qc_error(labels, flows, max_cells=8))
+        assert cnt[1] == (labels == 1).sum()  # not doubled by the alias
+        assert err[1] < 0.1
+
+
 class TestCrops:
     def test_centroids(self):
         labels = _labels_two_disks()
