@@ -260,17 +260,23 @@ class SegmentEmbedEngine:
         )
         return list(up)  # device arrays; downstream crops stay on device
 
-    def process_site_batch(self, site_ids: list[int], images: np.ndarray) -> dict[int, dict]:
+    def process_site_batch(
+        self, site_ids: list[int], images: np.ndarray, timer=None
+    ) -> dict[int, dict]:
         """Batched consumer body: segment a same-shape site batch at once,
         then crop+embed per site. Errors degrade per site.
 
         The raw batch is shipped to the device ONCE; segmentation, crops
         and embeddings all reuse that buffer (no label/image round-trips).
         """
+        from saguaro_tpu.utils.timing import StageTimer
+
+        timer = timer or StageTimer()
         results: dict[int, dict] = {}
         try:
-            images_dev = jnp.asarray(images)
-            labels_list = self.segment_batch(images_dev)
+            with timer.stage("segment"):
+                images_dev = jnp.asarray(images)
+                labels_list = self.segment_batch(images_dev)
         except Exception as e:
             logger.error("batched segmentation failed (%s); falling back per-site", e)
             images_dev = images
@@ -286,7 +292,8 @@ class SegmentEmbedEngine:
                 if int(jnp.max(jnp.asarray(labels))) == 0:
                     results[sid] = {"status": "empty", "n_cells": 0}
                     continue
-                feats, coords = self.embed_site(img, labels)
+                with timer.stage("embed"):
+                    feats, coords = self.embed_site(img, labels)
                 if len(feats) == 0:
                     results[sid] = {"status": "empty", "n_cells": 0}
                     continue
@@ -474,6 +481,10 @@ def run_pipeline(
     n_ch = len(cfg.channels)
     engine = engine or SegmentEmbedEngine(cfg)
 
+    from saguaro_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+
     def record(batch_results: dict[int, dict]):
         results.update(batch_results)
         if manifest is None:  # NB: an empty Manifest is falsy via __len__
@@ -501,7 +512,7 @@ def run_pipeline(
         ids = [sid for sid, _ in items]
         try:
             imgs = np.stack([im for _, im in items])
-            record(engine.process_site_batch(ids, imgs))
+            record(engine.process_site_batch(ids, imgs, timer=timer))
         except Exception as e:  # degrade-per-site: a bad batch never kills the run
             logger.error("site batch %s failed (%s); recording empty results", ids, e)
             record({sid: {"status": "empty", "n_cells": 0} for sid in ids})
@@ -517,6 +528,8 @@ def run_pipeline(
             flush(key)
     for key in list(buckets):
         flush(key)
+    if timer.count:
+        timer.log_summary()
 
     # ---------------- result assembly (reference :326-471) ----------------
     order = list(range(len(load_data)))  # includes spill-resumed sites
