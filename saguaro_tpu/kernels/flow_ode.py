@@ -289,6 +289,33 @@ def relabel_consecutive(labels: np.ndarray, min_size: int = 0) -> np.ndarray:
     return lut[labels]
 
 
+def fill_label_holes(labels: np.ndarray) -> np.ndarray:
+    """Fill interior holes of every mask (cellpose's
+    fill_holes_and_remove_small_masks hole-fill half). Host-side: holes
+    are background regions not connected to the image border — found with
+    one scipy flood fill over the whole image, then each hole pixel takes
+    the label that surrounds it (max-filter vote)."""
+    import scipy.ndimage as ndi
+
+    labels = np.asarray(labels)
+    structure = np.ones((3, 3), bool)
+    filled = ndi.binary_fill_holes(labels > 0)
+    holes = filled & (labels == 0)
+    if not holes.any():
+        return labels
+    out = labels.copy()
+    # assign each hole region the surrounding label (mode of dilated ring)
+    hole_labels, n = ndi.label(holes)
+    for h in range(1, n + 1):
+        m = hole_labels == h
+        ring = ndi.binary_dilation(m, structure) & ~m
+        vals = out[ring]
+        vals = vals[vals > 0]
+        if vals.size:
+            out[m] = np.bincount(vals).argmax()
+    return out
+
+
 def centroid_flows(labels: np.ndarray) -> np.ndarray:
     """Ground-truth-style flows: unit vectors toward each label's centroid
     (exact for convex cells; used for tests and synthetic training data)."""

@@ -45,6 +45,7 @@ from saguaro_tpu.kernels.crops import extract_crops
 from saguaro_tpu.kernels.flow_ode import (
     compute_masks,
     compute_masks_batch,
+    fill_label_holes,
     relabel_consecutive,
 )
 from saguaro_tpu.models.cellpose import (
@@ -78,6 +79,7 @@ class SegmentEmbedConfig:
     cellprob_threshold: float = 0.0
     flow_iters: int = 200
     flow_error_threshold: float | None = 0.4  # cellpose's bad-flow QC
+    fill_holes: bool = True            # cellpose fills mask interior holes
     min_size: int = 15
     site_batch: int = 8                # sites per batched device program
     prefetch_workers: int = 8          # host I/O threads (producer role)
@@ -183,6 +185,8 @@ class SegmentEmbedEngine:
             )
         else:
             labels = labels_low
+        if cfg.fill_holes:
+            labels = fill_label_holes(labels)
         return relabel_consecutive(labels, min_size=cfg.min_size)
 
     def _drop_bad_flow_masks(self, labels: np.ndarray, flows: np.ndarray) -> np.ndarray:
@@ -253,6 +257,8 @@ class SegmentEmbedEngine:
                 self._drop_bad_flow_masks(lab, flows[i] / 5.0)
                 for i, lab in enumerate(labels_low)
             ]
+        if cfg.fill_holes:
+            labels_low = [fill_label_holes(np.asarray(l)) for l in labels_low]
         if (h1, w1) == (h0, w0):
             return labels_low
         up = jax.image.resize(

@@ -102,3 +102,27 @@ class TestFlowRecovery:
         assert set(np.unique(out)) == {0, 1, 2, 3}
         out2 = relabel_consecutive(labels, min_size=2)
         assert set(np.unique(out2)) == {0, 1, 2}
+
+
+class TestFillHoles:
+    def test_fills_interior_keeps_border_bg(self):
+        from saguaro_tpu.kernels.flow_ode import fill_label_holes
+
+        labels = np.zeros((32, 32), np.int32)
+        labels[8:24, 8:24] = 3
+        labels[14:18, 14:18] = 0  # interior hole
+        out = fill_label_holes(labels)
+        assert (out[14:18, 14:18] == 3).all()
+        assert out[0, 0] == 0  # border background untouched
+
+    def test_two_cells_holes_get_right_labels(self):
+        from saguaro_tpu.kernels.flow_ode import fill_label_holes
+
+        labels = np.zeros((40, 40), np.int32)
+        labels[2:18, 2:18] = 1
+        labels[6:10, 6:10] = 0
+        labels[22:38, 22:38] = 2
+        labels[28:32, 28:32] = 0
+        out = fill_label_holes(labels)
+        assert (out[6:10, 6:10] == 1).all()
+        assert (out[28:32, 28:32] == 2).all()
