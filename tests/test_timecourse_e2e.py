@@ -204,3 +204,15 @@ class TestSpillResume:
         )
         counts2 = pd.read_csv(out2["counts"])
         pd.testing.assert_frame_equal(counts1, counts2)
+
+        # review scenario: the row ORDER changes between runs (e.g. a QC
+        # re-filter) — content-keyed spill must still attach each site's
+        # cached features to the right well, not the right position
+        reordered = load_data.iloc[::-1].reset_index(drop=True)
+        out3 = run_pipeline(
+            reordered, paths["images"], cfg, str(tmp_path / "c.parquet"),
+            engine=engine, spill_dir=spill,
+        )
+        counts3 = pd.read_csv(out3["counts"]).sort_values("Metadata_Well").reset_index(drop=True)
+        ref = counts1.sort_values("Metadata_Well").reset_index(drop=True)
+        pd.testing.assert_series_equal(counts3["Cell_Count"], ref["Cell_Count"])
