@@ -47,6 +47,7 @@ from saguaro_tpu.kernels.morphology import (
 )
 from saguaro_tpu.kernels.segment_reduce import (
     correlation_features,
+    euler_numbers,
     intensity_features,
     shape_features,
 )
@@ -119,6 +120,9 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             feats[f"AreaShape_{k}"] = v
         feats["Location_Center_X"] = shape["Center_X"]
         feats["Location_Center_Y"] = shape["Center_Y"]
+        feats["AreaShape_EulerNumber"] = jnp.where(
+            shape["Area"] > 0, euler_numbers(labels, cfg.max_cells), 0.0
+        )
         if cfg.measure_zernike:
             from saguaro_tpu.kernels.zernike import ZERNIKE_INDEXES, zernike_features
 

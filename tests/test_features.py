@@ -78,6 +78,28 @@ class TestShape:
         np.testing.assert_allclose(abs(f["Orientation"]), 0.0, atol=0.05)  # x-aligned
 
 
+class TestEulerNumber:
+    def test_topology(self):
+        from saguaro_tpu.kernels.segment_reduce import euler_numbers
+
+        yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        lab = np.zeros((64, 64), np.int32)
+        lab[(yy - 16) ** 2 + (xx - 16) ** 2 <= 100] = 1  # disk: E=1
+        ann = ((yy - 16) ** 2 + (xx - 48) ** 2 <= 144) & (
+            (yy - 16) ** 2 + (xx - 48) ** 2 >= 36
+        )
+        lab[ann] = 2  # annulus: E=0
+        blob = np.zeros((64, 64), bool)
+        blob[40:60, 8:56] = True
+        blob[46:54, 16:24] = False
+        blob[46:54, 40:48] = False
+        lab[blob] = 3  # two holes: E=-1
+        e = np.asarray(euler_numbers(lab, 8))
+        assert e[1] == 1.0
+        assert e[2] == 0.0
+        assert e[3] == -1.0
+
+
 class TestCorrelation:
     def test_matches_numpy(self, rng):
         labels = _labels_two_disks()
