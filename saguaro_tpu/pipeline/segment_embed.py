@@ -176,6 +176,8 @@ class SegmentEmbedEngine:
             n_iters=cfg.flow_iters,
             min_size=0,  # min-size filter applied at full resolution below
         )
+        if cfg.flow_error_threshold is not None:
+            labels_low = self._drop_bad_flow_masks(labels_low, np.asarray(flows) / 5.0)
         h0, w0 = image.shape[:2]
         if labels_low.shape != (h0, w0):
             labels = np.asarray(
