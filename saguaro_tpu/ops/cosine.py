@@ -83,8 +83,11 @@ def group_cosine_similarity(
         tri = sims[g][iu][mask]
         avg = float(np.mean(tri)) if tri.size else float("nan")
         rec = dict(zip(group_cols, key))
+        # member row labels, as the reference stores group.index per
+        # record (Pycyto_pertime.py:150-156, 'Replicates' column)
+        members = list(profiles.index[order[offsets[g]:offsets[g] + c]])
         averaged.append({**rec, "average_cosine_similarity": avg})
-        raw.append({**rec, "cosine_similarities": tri})
+        raw.append({**rec, "cosine_similarities": tri, "Replicates": members})
     return pd.DataFrame(averaged), raw
 
 

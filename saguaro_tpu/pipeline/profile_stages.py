@@ -218,6 +218,7 @@ def run_pycyto_pertime(
                     "Metadata_Timepoint": r["Metadata_Timepoint"],
                     "Metadata_Condition": r["Metadata_ConcLevel"],
                     "cosine_similarities": list(np.asarray(r["cosine_similarities"])),
+                    "Replicates": r["Replicates"],
                 }
                 for r in raw
             ]

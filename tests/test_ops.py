@@ -126,6 +126,12 @@ class TestCosine:
                 assert np.isnan(got)
             else:
                 np.testing.assert_allclose(got, expected, rtol=1e-4)
+        # raw records carry each group's member row labels, as the
+        # reference stores group.index (Pycyto_pertime.py:150-156)
+        for g, n in enumerate(n_per):
+            rec = next(r for r in raw if r["Metadata_Compound"] == f"cmp{g}")
+            expected_idx = list(df.index[df["Metadata_Compound"] == f"cmp{g}"])
+            assert sorted(rec["Replicates"]) == expected_idx
 
 
 class TestFeatureSelect:
