@@ -180,46 +180,48 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
 @partial(jax.jit, static_argnames=("max_cells",))
 def euler_numbers(labels: jax.Array, max_cells: int = 1024) -> jax.Array:
     """Per-object Euler number (components minus holes) by Gray's 2x2
-    quad-pattern counting, 4-connectivity: E = (Q1 - Q3 + 2*QD) / 4,
-    where Q1/Q3 count quads with exactly 1/3 pixels of the object and QD
-    counts diagonal quads. Validated: disk=1, annulus=0, two-hole blob=-1.
-    All objects at once via segment sums over the quad corners
-    (CP AreaShape_EulerNumber equivalent)."""
-    lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
-    a = lab[:-1, :-1]
-    b = lab[:-1, 1:]
-    c = lab[1:, :-1]
-    d = lab[1:, 1:]
+    quad-pattern counting, 8-connectivity: E = (Q1 - Q3 - 2*QD) / 4 —
+    the skimage regionprops / CP AreaShape_EulerNumber convention, where
+    Q1/Q3 count quads with exactly 1/3 pixels of the object and QD counts
+    diagonal quads. Validated: disk=1, annulus=0, two-hole blob=-1.
 
-    def count_patterns(target):
-        """For each quad, evaluate patterns w.r.t. 'target' membership."""
-        ta = (a == target) & (target > 0)
-        tb = (b == target) & (target > 0)
-        tc = (c == target) & (target > 0)
-        td = (d == target) & (target > 0)
+    Patterns are counted PER corner label: every quad contributes one
+    pattern evaluation for each DISTINCT object among its 4 corners
+    (attributed at that object's first corner in a,b,c,d scan order), so
+    touching or diagonally adjacent objects that share a quad are each
+    counted correctly — a single max-owner attribution would miscount the
+    lower-id object's Q1/Q3 whenever two objects share a quad."""
+    lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
+    corners = (lab[:-1, :-1], lab[:-1, 1:], lab[1:, :-1], lab[1:, 1:])
+    a, b, c, d = corners
+
+    total = jnp.zeros((max_cells,), jnp.float32)
+    for r, target in enumerate(corners):
+        # only where this corner is the first corner of its own label in
+        # the quad — one evaluation per (quad, distinct label) pair
+        first = target > 0
+        for prev in corners[:r]:
+            first = first & (prev != target)
+        ta, tb, tc, td = (a == target), (b == target), (c == target), (d == target)
         s = (
             ta.astype(jnp.int32)
             + tb.astype(jnp.int32)
             + tc.astype(jnp.int32)
             + td.astype(jnp.int32)
         )
-        q1 = (s == 1).astype(jnp.float32)
-        q3 = (s == 3).astype(jnp.float32)
-        qd = ((s == 2) & ((ta & td) | (tb & tc))).astype(jnp.float32)
-        return q1, q3, qd
-
-    # each quad contributes to the object owning ANY of its corners; since
-    # quads with s>=1 have a well-defined majority owner only for s>=1 of a
-    # single label, attribute the quad to the max label among its corners —
-    # exact when objects don't touch corner-to-corner (post flow recovery
-    # they don't share quads with other labels' q1/q3 patterns)
-    owner = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
-    q1, q3, qd = count_patterns(owner)
-    seg = jnp.where((owner > 0) & (owner < max_cells), owner, 0).reshape(-1)
-    s_q1 = jax.ops.segment_sum(q1.reshape(-1), seg, num_segments=max_cells)
-    s_q3 = jax.ops.segment_sum(q3.reshape(-1), seg, num_segments=max_cells)
-    s_qd = jax.ops.segment_sum(qd.reshape(-1), seg, num_segments=max_cells)
-    return (s_q1 - s_q3 + 2.0 * s_qd) / 4.0
+        q1 = (s == 1) & first
+        q3 = (s == 3) & first
+        qd = (s == 2) & ((ta & td) | (tb & tc)) & first
+        contrib = (
+            q1.astype(jnp.float32)
+            - q3.astype(jnp.float32)
+            - 2.0 * qd.astype(jnp.float32)
+        )
+        seg = jnp.where(first & (target < max_cells), target, 0).reshape(-1)
+        total = total + jax.ops.segment_sum(
+            contrib.reshape(-1), seg, num_segments=max_cells
+        )
+    return total.at[0].set(0.0) / 4.0
 
 
 @partial(jax.jit, static_argnames=("max_cells",))

@@ -99,6 +99,31 @@ class TestEulerNumber:
         assert e[2] == 0.0
         assert e[3] == -1.0
 
+    def test_touching_objects(self):
+        """Objects that share 2x2 quads (the common case after instance
+        segmentation) must each keep E=1 — the round-1 max-owner
+        attribution gave the lower id 0.5/0.75 here."""
+        from saguaro_tpu.kernels.segment_reduce import euler_numbers
+
+        lab = np.zeros((16, 16), np.int32)
+        lab[2:5, 2:5] = 1  # two 3x3 squares touching edge-to-edge
+        lab[2:5, 5:8] = 2
+        lab[10, 10] = 3  # two diagonally adjacent single pixels
+        lab[11, 11] = 4
+        e = np.asarray(euler_numbers(lab, 8))
+        np.testing.assert_array_equal(e[1:5], [1.0, 1.0, 1.0, 1.0])
+
+    def test_eight_connectivity(self):
+        """A diagonal pair within ONE label is a single 8-connected
+        component: E=1 (4-connectivity would give 2)."""
+        from saguaro_tpu.kernels.segment_reduce import euler_numbers
+
+        lab = np.zeros((8, 8), np.int32)
+        lab[2, 2] = 1
+        lab[3, 3] = 1
+        e = np.asarray(euler_numbers(lab, 8))
+        assert e[1] == 1.0
+
 
 class TestCorrelation:
     def test_matches_numpy(self, rng):
