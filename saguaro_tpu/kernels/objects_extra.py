@@ -183,10 +183,13 @@ def neighbor_features(labels: jax.Array, max_cells: int = 1024, distance: int = 
 
     pair_present = jnp.zeros((max_cells * max_cells,), jnp.float32)
     touching = jnp.zeros(grown.shape, jnp.bool_)
-    me = jnp.clip(grown, 0, max_cells - 1)
+    # route overflow ids (>= max_cells) to the ignored background bin,
+    # matching the _flat convention — clipping would alias them onto
+    # cell max_cells-1 and give it phantom neighbors
+    me = jnp.where((grown > 0) & (grown < max_cells), grown, 0)
     for sh in shifts:
-        other = jnp.clip(sh, 0, max_cells - 1)
-        is_pair = (grown > 0) & (sh > 0) & (grown != sh)
+        other = jnp.where((sh > 0) & (sh < max_cells), sh, 0)
+        is_pair = (me > 0) & (other > 0) & (me != other)
         touching = touching | is_pair
         keys = (me * max_cells + other).reshape(-1)
         pair_present = pair_present + jax.ops.segment_sum(
@@ -203,7 +206,8 @@ def neighbor_features(labels: jax.Array, max_cells: int = 1024, distance: int = 
         | (padl[1:-1, :-2] != lab)
         | (padl[1:-1, 2:] != lab)
     ) & (lab > 0)
-    seg = jnp.clip(lab.reshape(-1), 0, max_cells - 1)
+    flat = lab.reshape(-1)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     b_cnt = jax.ops.segment_sum(
         boundary.reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
     )

@@ -87,3 +87,16 @@ class TestNeighbors:
         pct = np.asarray(out["PercentTouching"])
         assert pct[1] > 0
         assert pct[4] == 0
+
+    def test_overflow_ids_ignored(self):
+        """Ids >= max_cells route to background (the _flat convention) —
+        they must not alias onto cell max_cells-1 as phantom neighbors."""
+        labels = np.zeros((48, 48), np.int32)
+        labels[10:20, 10:20] = 7   # == max_cells - 1, isolated
+        labels[30:40, 30:40] = 99  # overflow (max_cells=8), touches nothing
+        labels[30:40, 40:44] = 1   # touches ONLY the overflow object
+        out = neighbor_features(labels, 8, distance=5)
+        n = np.asarray(out["NumberOfNeighbors"])
+        pct = np.asarray(out["PercentTouching"])
+        assert n[7] == 0 and pct[7] == 0   # no phantom neighbor from id 99
+        assert n[1] == 0                    # overflow partner is ignored
