@@ -78,6 +78,20 @@ def intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 102
     disp = jnp.sqrt(
         (sy / denom - wy / sdenom) ** 2 + (sx / denom - wx / sdenom) ** 2
     )
+    # location of the max-intensity pixel: smallest linear index attaining
+    # the per-object max (CP Location_MaxIntensity)
+    inside_b = (labels > 0).reshape(-1)
+    vflat = image.reshape(-1).astype(jnp.float32)
+    at_max = inside_b & (vflat >= jnp.take(vmax, seg))
+    bigidx = jnp.float32(h * w)
+    pick = jax.ops.segment_min(
+        jnp.where(at_max, jnp.arange(h * w, dtype=jnp.float32), bigidx),
+        seg,
+        num_segments=max_cells,
+    )
+    pick_i = jnp.clip(pick, 0, h * w - 1).astype(jnp.int32)
+    max_y = (pick_i // w).astype(jnp.float32)
+    max_x = (pick_i % w).astype(jnp.float32)
     zero = cnt <= 0
     z = lambda a: jnp.where(zero, 0.0, a)
     return {
@@ -87,6 +101,10 @@ def intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 102
         "MinIntensity": z(vmin),
         "MaxIntensity": z(vmax),
         "MassDisplacement": z(disp),
+        "CenterMassIntensity_Y": z(wy / sdenom),
+        "CenterMassIntensity_X": z(wx / sdenom),
+        "MaxIntensity_Y": z(max_y),
+        "MaxIntensity_X": z(max_x),
     }
 
 

@@ -9,12 +9,17 @@ recovered by integrating pixels along the flow (kernels/flow_ode.py).
 Design notes (tpu-first, not a torch translation):
 
 * NHWC layout end-to-end; convs land on the MXU via XLA.
-* Residual double-conv encoder/decoder over 4 scales [32, 64, 128, 256]
-  with a global style vector (L2-normalized GAP of the bottleneck)
-  injected into every decoder block — the architecture family of the
-  Cellpose paper, expressed in flax.linen.
+* The network is GRAPH-EXACT to cellpose's CPnet (pre-activation
+  BN->ReLU->Conv "batchconv" blocks, additive residual projections,
+  4 scales [32, 64, 128, 256], a global style vector = L2-normalized GAP
+  of the bottleneck injected via per-channel Dense biases in every
+  decoder conv) so pretrained cellpose checkpoints ('nuclei') convert
+  weight-for-weight: models/cellpose_weights.py holds the name map and
+  tests/test_weights.py proves activation parity against a torch mirror.
 * BatchNorm runs in inference mode with stored statistics so a converter
   can populate parameters from a pretrained cellpose checkpoint.
+  NB the 'nuclei' checkpoint's diam_mean is 17 px (cyto models use 30);
+  pass the checkpoint's value via CellposeConfig(diam_mean=...).
 * Static shapes everywhere: inference is tiled (fixed tile size, overlap
   averaged with a taper window), diameter handling is a bilinear rescale
   to the 30-px training diameter before the network and a rescale of the
@@ -55,58 +60,90 @@ class CellposeConfig:
     compute_dtype: str = "bfloat16"
 
 
-class _ConvBN(nn.Module):
+class _BatchConv(nn.Module):
+    """cellpose ``batchconv`` (relu=True) / ``batchconv0`` (relu=False):
+    BatchNorm(in) [-> ReLU] -> Conv(k, SAME, bias)."""
+
+    features: int
+    kernel: int = 3
+    relu: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding="SAME",
+            dtype=self.dtype,
+            name="conv",
+        )(x.astype(self.dtype))
+
+
+class _ResDown(nn.Module):
+    """cellpose ``resdown``: x = proj(x) + c1(c0(x)); x = x + c3(c2(x))."""
+
     features: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        return nn.relu(x)
-
-
-class _ResBlock(nn.Module):
-    """Two conv-BN-relu pairs with a projected residual."""
-
-    features: int
-    dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        proj = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
-        h = _ConvBN(self.features, self.dtype)(x)
-        h = _ConvBN(self.features, self.dtype)(h)
+        proj = _BatchConv(self.features, 1, relu=False, dtype=self.dtype, name="proj")(x)
+        h = _BatchConv(self.features, dtype=self.dtype, name="conv_0")(x)
+        h = _BatchConv(self.features, dtype=self.dtype, name="conv_1")(h)
         x = proj + h
-        h = _ConvBN(self.features, self.dtype)(x)
-        h = _ConvBN(self.features, self.dtype)(h)
+        h = _BatchConv(self.features, dtype=self.dtype, name="conv_2")(x)
+        h = _BatchConv(self.features, dtype=self.dtype, name="conv_3")(h)
         return x + h
 
 
-class _StyleResBlock(nn.Module):
-    """Decoder block: residual convs with the style vector injected as a
-    per-channel bias before each second conv."""
+class _StyleConv(nn.Module):
+    """cellpose ``batchconvstyle``: conv(x [+ y] + Dense(style))."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, style):
-        proj = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
-        h = _ConvBN(self.features, self.dtype)(x)
-        s = nn.Dense(self.features, dtype=jnp.float32)(style)
-        h = h + s[:, None, None, :].astype(h.dtype)
-        h = _ConvBN(self.features, self.dtype)(h)
+    def __call__(self, style, x, y=None):
+        if y is not None:
+            x = x + y
+        feat = nn.Dense(self.features, dtype=jnp.float32, name="full")(style)
+        x = x + feat[:, None, None, :].astype(x.dtype)
+        return _BatchConv(self.features, dtype=self.dtype, name="conv")(x)
+
+
+class _ResUp(nn.Module):
+    """cellpose ``resup``: x = proj(x) + c1(style, c0(x), y=skip);
+    x = x + c3(style, c2(style, x))."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, y, style):
+        proj = _BatchConv(self.features, 1, relu=False, dtype=self.dtype, name="proj")(x)
+        h = _BatchConv(self.features, dtype=self.dtype, name="conv_0")(x)
+        h = _StyleConv(self.features, dtype=self.dtype, name="conv_1")(style, h, y=y)
         x = proj + h
-        h = _ConvBN(self.features, self.dtype)(x)
-        s2 = nn.Dense(self.features, dtype=jnp.float32)(style)
-        h = h + s2[:, None, None, :].astype(h.dtype)
-        h = _ConvBN(self.features, self.dtype)(h)
+        h = _StyleConv(self.features, dtype=self.dtype, name="conv_2")(style, x)
+        h = _StyleConv(self.features, dtype=self.dtype, name="conv_3")(style, h)
         return x + h
 
 
 class CellposeUNet(nn.Module):
-    """(B, H, W, C_in) -> (B, H, W, 3): [flow_y, flow_x, cellprob logit]."""
+    """(B, H, W, C_in) -> (B, H, W, 3): [flow_y, flow_x, cellprob logit].
+
+    Graph-exact flax expression of cellpose's CPnet
+    (nbase=[C_in, *features], sz=3, residual_on, style_on): encoder
+    ``res_down_n`` with 2x maxpool between levels, style = L2-normalized
+    global average of the bottleneck, decoder ``res_up_n`` over nearest
+    2x upsampling with additive skips, and a final batchconv head
+    ``output`` to 3 channels. Weight name map:
+    models/cellpose_weights.py (cellpose 'nuclei' et al.).
+    """
 
     config: CellposeConfig = CellposeConfig()
 
@@ -114,26 +151,32 @@ class CellposeUNet(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
-        x = x.astype(dtype)
+        nbase = cfg.features
+        h = x.astype(dtype)
 
-        skips = []
-        for i, f in enumerate(cfg.features):
-            x = _ResBlock(f, dtype)(x)
-            skips.append(x)
-            if i < len(cfg.features) - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        xd = []
+        for n, f in enumerate(nbase):
+            if n > 0:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = _ResDown(f, dtype, name=f"res_down_{n}")(h)
+            xd.append(h)
 
-        # Global style vector from the bottleneck (L2-normalized GAP).
-        style = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        style = style / (jnp.linalg.norm(style, axis=-1, keepdims=True) + 1e-6)
+        # make_style: GAP of the bottleneck, x / sqrt(sum(x^2)) (CPnet exact)
+        style = jnp.mean(xd[-1].astype(jnp.float32), axis=(1, 2))
+        style = style / jnp.sqrt(
+            jnp.maximum(jnp.sum(style**2, axis=1, keepdims=True), 1e-12)
+        )
 
-        for i, f in reversed(list(enumerate(cfg.features[:-1]))):
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-            x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = _StyleResBlock(f, dtype)(x, style)
+        # top resup consumes the bottleneck twice (x and skip), no upsample
+        h = _ResUp(nbase[-1], dtype, name=f"res_up_{len(nbase) - 1}")(
+            xd[-1], xd[-1], style
+        )
+        for n in range(len(nbase) - 2, -1, -1):
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+            h = _ResUp(nbase[n], dtype, name=f"res_up_{n}")(h, xd[n], style)
 
-        out = nn.Conv(3, (1, 1), dtype=jnp.float32)(x.astype(jnp.float32))
+        out = _BatchConv(3, 1, dtype=jnp.float32, name="output")(h.astype(jnp.float32))
         return out
 
 

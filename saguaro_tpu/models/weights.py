@@ -120,6 +120,40 @@ def _signature(shape: tuple[int, ...]) -> tuple:
     return (len(shape), tuple(sorted(shape)))
 
 
+def _interleaved_flax_keys(flat: dict[str, np.ndarray]) -> list[str]:
+    """Order flax leaves the way a torch state dict orders tensors.
+
+    flatten_tree yields all of ``params/`` before ``batch_stats/``, but
+    torch emits each BatchNorm's running stats right after its
+    weight/bias. Re-interleave: walk params in module order and splice
+    each module's batch_stats (mean then var) in as the module ends.
+    """
+    params = [k for k in flat if k.startswith("params/")]
+    stats_by_mod: dict[str, list[str]] = {}
+    for k in flat:
+        if k.startswith("params/"):
+            continue
+        mod = k.split("/", 1)[1].rsplit("/", 1)[0]
+        stats_by_mod.setdefault(mod, []).append(k)
+    leaf_rank = {"mean": 0, "var": 1}
+    for v in stats_by_mod.values():
+        v.sort(key=lambda k: leaf_rank.get(k.rsplit("/", 1)[1], 99))
+
+    out: list[str] = []
+    prev_mod: str | None = None
+    for k in params:
+        mod = k.split("/", 1)[1].rsplit("/", 1)[0]
+        if prev_mod is not None and mod != prev_mod and prev_mod in stats_by_mod:
+            out.extend(stats_by_mod.pop(prev_mod))
+        out.append(k)
+        prev_mod = mod
+    if prev_mod is not None and prev_mod in stats_by_mod:
+        out.extend(stats_by_mod.pop(prev_mod))
+    for rem in stats_by_mod.values():
+        out.extend(rem)
+    return out
+
+
 def convert_by_order(
     state_dict: dict[str, np.ndarray],
     flax_variables: dict,
@@ -141,11 +175,11 @@ def convert_by_order(
     report: list[str] = []
     used = [False] * len(torch_items)
     new_flat: dict[str, np.ndarray] = {}
-    cursor = 0
-    for fkey, cur in flat.items():
+    for fkey in _interleaved_flax_keys(flat):
+        cur = flat[fkey]
         sig = _signature(cur.shape)
         found = None
-        for j in range(cursor, len(torch_items)):
+        for j in range(len(torch_items)):
             tk, tv = torch_items[j]
             if used[j]:
                 continue
@@ -167,7 +201,6 @@ def convert_by_order(
         else:
             j, tk, conv = found
             used[j] = True
-            cursor = max(cursor, j)
             report.append(f"{fkey} <- {tk} {tuple(conv.shape)}")
             new_flat[fkey] = conv.astype(cur.dtype)
     for j, (tk, tv) in enumerate(torch_items):

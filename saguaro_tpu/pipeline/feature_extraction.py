@@ -43,19 +43,37 @@ def run_feature_extraction_job(
     segmenter,
     feature_cfg: FeatureConfig | None = None,
     illum_path: str | None = None,
+    site_batch: int = 8,
 ) -> dict[str, str]:
     """One (plate, time) job: segment + measure every site, write 4 tables.
 
     ``segmenter(image) -> labels`` supplies nuclei masks (the segmentation
-    engine, or ground truth in tests).
+    engine, or ground truth in tests). Same-shape sites are measured in
+    device batches of ``site_batch`` (ONE program per batch); a failing
+    batch degrades to per-site measurement, a failing site to an
+    empty-table placeholder (reference contract).
     """
+    from saguaro_tpu.pipeline.features import measure_site_batch
+
     cfg = feature_cfg or FeatureConfig(channels=tuple(channels))
     illum = load_illum_functions(illum_path, channels) if illum_path else None
 
-    all_tables: dict[str, list[pd.DataFrame]] = {}
+    def empty_tables(image_number: int, metadata: dict) -> dict[str, pd.DataFrame]:
+        return {
+            name: pd.DataFrame([{"ImageNumber": image_number, **metadata}])
+            if name == "Image"
+            else pd.DataFrame()
+            for name in ("Image", "Nuclei", "Cells", "Cytoplasm")
+        }
+
+    # load + segment per site (host I/O), bucket same-shape sites
+    per_site_tables: dict[int, dict[str, pd.DataFrame]] = {}
+    buckets: dict[tuple, list] = {}
+    metas: dict[int, dict] = {}
     for i, row in load_data.reset_index(drop=True).iterrows():
         image_number = i + 1
         metadata = {c: row[c] for c in _METADATA_COLS if c in row.index}
+        metas[image_number] = metadata
         try:
             chans = []
             for k, p in enumerate(site_image_paths(row, channels, image_path)):
@@ -64,17 +82,45 @@ def run_feature_extraction_job(
                     img = img / illum[k]
                 chans.append(img)
             image = np.stack(chans, axis=-1)
-            labels = segmenter(image)
-            tables = measure_site(image, labels, cfg, image_number, metadata)
+            labels = np.asarray(segmenter(image))
+            buckets.setdefault(image.shape, []).append((image_number, image, labels))
         except Exception as e:
             logger.error("site %d failed: %s", image_number, e)
-            tables = {
-                name: pd.DataFrame([{"ImageNumber": image_number, **metadata}])
-                if name == "Image"
-                else pd.DataFrame()
-                for name in ("Image", "Nuclei", "Cells", "Cytoplasm")
-            }
-        for name, df in tables.items():
+            per_site_tables[image_number] = empty_tables(image_number, metadata)
+
+    def measure_one(image_number, image, labels):
+        try:
+            per_site_tables[image_number] = measure_site(
+                image, labels, cfg, image_number, metas[image_number]
+            )
+        except Exception as e:
+            logger.error("site %d measurement failed: %s", image_number, e)
+            per_site_tables[image_number] = empty_tables(
+                image_number, metas[image_number]
+            )
+
+    for items in buckets.values():
+        for s in range(0, len(items), site_batch):
+            chunk = items[s : s + site_batch]
+            nums = [n for n, _, _ in chunk]
+            try:
+                batch_tables = measure_site_batch(
+                    np.stack([im for _, im, _ in chunk]),
+                    np.stack([lb for _, _, lb in chunk]),
+                    cfg,
+                    image_numbers=nums,
+                    metadata=[metas[n] for n in nums],
+                )
+                for n, t in zip(nums, batch_tables):
+                    per_site_tables[n] = t
+            except Exception as e:
+                logger.error("batch %s failed (%s); per-site fallback", nums, e)
+                for n, im, lb in chunk:
+                    measure_one(n, im, lb)
+
+    all_tables: dict[str, list[pd.DataFrame]] = {}
+    for image_number in sorted(per_site_tables):
+        for name, df in per_site_tables[image_number].items():
             all_tables.setdefault(name, []).append(df)
 
     written = {}

@@ -114,12 +114,26 @@ class SegmentEmbedEngine:
         if cellpose_variables is None and cfg.cellpose_checkpoint:
             from saguaro_tpu.models.checkpoint import load_variables
 
-            cellpose_variables, _ = load_variables(cfg.cellpose_checkpoint, cp_vars)
+            try:
+                cellpose_variables, _ = load_variables(cfg.cellpose_checkpoint, cp_vars)
+            except ValueError:  # not our format: a torch CPnet file
+                from saguaro_tpu.models.cellpose_weights import load_torch_cellpose
+
+                cellpose_variables = load_torch_cellpose(
+                    cfg.cellpose_checkpoint, cp_vars, cfg.cellpose
+                )
             logger.info("Loaded cellpose checkpoint %s", cfg.cellpose_checkpoint)
         if effnet_variables is None and cfg.effnet_checkpoint:
             from saguaro_tpu.models.checkpoint import load_variables
 
-            effnet_variables, _ = load_variables(cfg.effnet_checkpoint, en_vars)
+            try:
+                effnet_variables, _ = load_variables(cfg.effnet_checkpoint, en_vars)
+            except ValueError:  # not our format: a timm/transformers file
+                from saguaro_tpu.models.effnet_weights import load_torch_effnet
+
+                effnet_variables = load_torch_effnet(
+                    cfg.effnet_checkpoint, en_vars, cfg.effnet
+                )
             logger.info("Loaded effnet checkpoint %s", cfg.effnet_checkpoint)
         self.cell_vars = cellpose_variables or cp_vars
         self.feat_vars = effnet_variables or en_vars

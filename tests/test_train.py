@@ -61,9 +61,11 @@ class TestTraining:
             images.append(img)
             flow_ts.append(masks_to_flows(labels))
             prob_ts.append((labels > 0).astype(np.float32))
+        # CPnet (pre-activation batchconv) wants a slightly hotter schedule
+        # than the round-1 post-activation net: 300 steps @ 5e-3 -> IoU 0.86
         result = train_cellpose(
             np.stack(images), np.stack(flow_ts), np.stack(prob_ts),
-            cfg, n_steps=150, batch_size=8, learning_rate=2e-3,
+            cfg, n_steps=300, batch_size=8, learning_rate=5e-3,
         )
         assert result.losses[-1] < result.losses[0] * 0.5  # it learns
 
