@@ -239,6 +239,54 @@ def _measure_all_batch(images: jax.Array, nuclei: jax.Array, cfg: FeatureConfig)
     return jax.vmap(lambda im, lb: _measure_all(im, lb, cfg))(images, nuclei)
 
 
+# ---------------------------------------------------------------------------
+# Packed fetch: this environment's host<->device path is an HTTP relay with
+# ~30 ms per array round-trip; a measurement result tree holds ~2000 small
+# arrays, so fetching leaf-by-leaf costs ~60 s/site while the compute takes
+# ~1 s. Concatenate every leaf into ONE flat f32 array inside the jitted
+# program and fetch it with a single transfer, then split on the host.
+# ---------------------------------------------------------------------------
+
+_SPEC_CACHE: dict = {}
+
+
+def _result_spec(img_shape, lab_shape, cfg, batched: bool):
+    key = (img_shape, lab_shape, cfg, batched)
+    if key not in _SPEC_CACHE:
+        fn = _measure_all_batch if batched else _measure_all
+        shapes = jax.eval_shape(
+            lambda im, lb: fn(im, lb, cfg),
+            jax.ShapeDtypeStruct(img_shape, jnp.float32),
+            jax.ShapeDtypeStruct(lab_shape, jnp.int32),
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        _SPEC_CACHE[key] = (treedef, [(l.shape, l.dtype) for l in leaves])
+    return _SPEC_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("cfg", "batched"))
+def _measure_flat(images: jax.Array, nuclei: jax.Array, cfg: FeatureConfig, batched: bool):
+    fn = _measure_all_batch if batched else _measure_all
+    res = fn(images, nuclei, cfg)
+    leaves = jax.tree_util.tree_leaves(res)
+    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+
+
+def _measure_fetch(images, nuclei, cfg, batched: bool):
+    """Run + fetch a measurement as one transfer; rebuild the tree."""
+    images = jnp.asarray(images, jnp.float32)
+    nuclei = jnp.asarray(nuclei, jnp.int32)
+    treedef, leaf_specs = _result_spec(images.shape, nuclei.shape, cfg, batched)
+    flat = np.asarray(_measure_flat(images, nuclei, cfg, batched))
+    leaves, off = [], 0
+    for shape, dtype in leaf_specs:
+        n = int(np.prod(shape)) if shape else 1
+        arr = flat[off : off + n].reshape(shape)
+        leaves.append(arr.astype(dtype) if np.issubdtype(dtype, np.integer) else arr)
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def measure_site_batch(
     images: np.ndarray,
     nuclei_labels: np.ndarray,
@@ -256,10 +304,7 @@ def measure_site_batch(
     b = len(images)
     image_numbers = image_numbers or list(range(1, b + 1))
     metadata = metadata or [{}] * b
-    res = _measure_all_batch(
-        jnp.asarray(images, jnp.float32), jnp.asarray(nuclei_labels, jnp.int32), cfg
-    )
-    res = jax.tree.map(np.asarray, res)
+    res = _measure_fetch(images, nuclei_labels, cfg, batched=True)
     return [
         _tables_from_result(
             jax.tree.map(lambda a, i=i: a[i], res), image_numbers[i], metadata[i]
@@ -277,10 +322,7 @@ def measure_site(
 ) -> dict[str, pd.DataFrame]:
     """Measure one site; returns {'Image','Nuclei','Cells','Cytoplasm'}
     DataFrames in the CP schema."""
-    res = _measure_all(
-        jnp.asarray(image, jnp.float32), jnp.asarray(nuclei_labels, jnp.int32), cfg
-    )
-    res = jax.tree.map(np.asarray, res)
+    res = _measure_fetch(image, nuclei_labels, cfg, batched=False)
     return _tables_from_result(res, image_number, metadata)
 
 
