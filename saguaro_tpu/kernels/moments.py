@@ -57,27 +57,32 @@ def moments_features(labels: jax.Array, max_cells: int = 1024) -> dict[str, jax.
     yb = (y - jnp.take(jnp.where(zero, 0.0, ymin), seg)) * inside
     xb = (x - jnp.take(jnp.where(zero, 0.0, xmin), seg)) * inside
 
-    def power_sums(yloc, xloc):
+    def power_products(yloc, xloc):
         ypow = [inside, yloc, yloc * yloc, yloc * yloc * yloc]
         xpow = [inside, xloc, xloc * xloc, xloc * xloc * xloc]
-        return {
-            (p, q): jax.ops.segment_sum(
-                ypow[p] * xpow[q], seg, num_segments=max_cells
-            )
-            for p, q in _ORDERS
-        }
+        return [ypow[p] * xpow[q] for p, q in _ORDERS]
+
+    # ONE 32-lane one-hot matmul: TPU scatters serialize, so the chunked
+    # MXU contraction (kernels/onehot_reduce.segment_matmul_sums, hi/lo
+    # bf16 split for f32 fidelity) replaces 32 scalar segment_sums
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
+    payload = jnp.stack(
+        power_products(yb, xb) + power_products(yc, xc), axis=1
+    )  # (N, 32)
+    sums = segment_matmul_sums(seg, payload, max_cells)  # (C, 32)
 
     out: dict[str, jax.Array] = {}
     z = lambda a: jnp.where(zero, 0.0, a)
 
     # spatial moments: bbox-local coordinates (skimage regionprops crops
     # the object image to its bbox before computing moments)
-    spatial = power_sums(yb, xb)
+    spatial = {pq: sums[:, i] for i, pq in enumerate(_ORDERS)}
     for p, q in _ORDERS:
         out[f"SpatialMoment_{p}_{q}"] = z(spatial[(p, q)])
 
     # central moments: centroid-relative
-    mu = power_sums(yc, xc)
+    mu = {pq: sums[:, len(_ORDERS) + i] for i, pq in enumerate(_ORDERS)}
     for p, q in _ORDERS:
         out[f"CentralMoment_{p}_{q}"] = z(mu[(p, q)])
 

@@ -16,12 +16,14 @@ per chunk — the label matrix is the dominant HBM traffic.
 Measured guidance (v5e, 1080² images, 512-cell bound): the matmul
 formulation wins where the scatter's segment space is large AND the
 histogram is reused heavily — the GLCM (cells x L² x 4 directions) went
-7x faster (kernels/glcm.py uses this pattern inline). For the medium
-reductions (256-bin quantile histograms, cells x cells neighbor counts,
-Zernike column sums) the scatter formulation measured FASTER than these
-helpers — XLA fuses those smaller scatters well enough that the one-hot
-HBM traffic dominates. objects_extra.py/zernike.py therefore keep their
-scatter forms; these primitives remain for large-segment-space cases.
+7x faster (kernels/glcm.py uses this pattern inline), and
+``segment_matmul_sums`` now carries every plain per-object sum in
+segment_reduce.py (shape/intensity/correlation) and kernels/moments.py
+as multi-lane payloads. For the medium keyed histograms (quantile bins,
+cells x cells neighbor counts, Zernike column sums) the scatter
+formulation measured FASTER — XLA fuses those well enough that the
+one-hot HBM traffic dominates — so objects_extra.py/zernike.py keep
+their scatter forms.
 """
 
 from __future__ import annotations

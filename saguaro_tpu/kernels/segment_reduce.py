@@ -56,24 +56,47 @@ def intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 102
 
     Returns dict of (max_cells,) arrays: IntegratedIntensity, MeanIntensity,
     StdIntensity, MinIntensity, MaxIntensity, MassDisplacement (distance
-    between the binary centroid and the intensity-weighted centroid).
-    """
-    h, w = labels.shape
-    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
-    denom = jnp.maximum(cnt, 1.0)
-    mean = s / denom
-    var = jnp.maximum(ss / denom - mean * mean, 0.0)
+    between the binary centroid and the intensity-weighted centroid),
+    CenterMassIntensity_Y/X and MaxIntensity_Y/X locations.
 
+    All plain sums ride ONE chunked one-hot matmul (TPU scatters
+    serialize); only min/max/argmax stay segment reductions.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
+    h, w = labels.shape
     seg = _flat(labels, max_cells)
     inside = (labels > 0).reshape(-1).astype(jnp.float32)
     v = image.reshape(-1).astype(jnp.float32) * inside
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )
-    sy = jax.ops.segment_sum(yy.reshape(-1) * inside, seg, num_segments=max_cells)
-    sx = jax.ops.segment_sum(xx.reshape(-1) * inside, seg, num_segments=max_cells)
-    wy = jax.ops.segment_sum(yy.reshape(-1) * v, seg, num_segments=max_cells)
-    wx = jax.ops.segment_sum(xx.reshape(-1) * v, seg, num_segments=max_cells)
+    yf = yy.reshape(-1)
+    xf = xx.reshape(-1)
+    payload = jnp.stack(
+        [inside, v, yf * inside, xf * inside, yf * v, xf * v], axis=1
+    )
+    sums = segment_matmul_sums(seg, payload, max_cells)
+    cnt, s, sy, sx, wy, wx = (sums[:, i] for i in range(6))
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s / denom
+    # variance over CENTERED values — uint16-scale v**2 sums would lose
+    # the mean-square cancellation under the hi/lo bf16 split
+    vr = image.reshape(-1).astype(jnp.float32)
+    vc = (vr - jnp.take(mean, seg)) * inside
+    var = (
+        segment_matmul_sums(seg, (vc * vc)[:, None], max_cells)[:, 0] / denom
+    )
+    var = jnp.maximum(var, 0.0)
+
+    inside_m = (labels > 0).reshape(-1)
+    big = jnp.float32(3.4e38)
+    vmin = jax.ops.segment_min(
+        jnp.where(inside_m, vr, big), seg, num_segments=max_cells
+    )
+    vmax = jax.ops.segment_max(
+        jnp.where(inside_m, vr, -big), seg, num_segments=max_cells
+    )
     sdenom = jnp.maximum(s, 1e-12)
     disp = jnp.sqrt(
         (sy / denom - wy / sdenom) ** 2 + (sx / denom - wx / sdenom) ** 2
@@ -116,6 +139,8 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
     MajorAxisLength, MinorAxisLength, Eccentricity, Orientation, Extent,
     FormFactor, Compactness, BoundingBoxArea, plus bbox min/max.
     """
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
     h, w = labels.shape
     seg = _flat(labels, max_cells)
     inside = labels > 0
@@ -123,25 +148,6 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )
-    area = jax.ops.segment_sum(ones, seg, num_segments=max_cells)
-    denom = jnp.maximum(area, 1.0)
-    sy = jax.ops.segment_sum(yy.reshape(-1) * ones, seg, num_segments=max_cells)
-    sx = jax.ops.segment_sum(xx.reshape(-1) * ones, seg, num_segments=max_cells)
-    cy, cx = sy / denom, sx / denom
-    # central second moments (pixel-center convention: +1/12 per axis)
-    syy = jax.ops.segment_sum(yy.reshape(-1) ** 2 * ones, seg, num_segments=max_cells)
-    sxx = jax.ops.segment_sum(xx.reshape(-1) ** 2 * ones, seg, num_segments=max_cells)
-    sxy = jax.ops.segment_sum((yy * xx).reshape(-1) * ones, seg, num_segments=max_cells)
-    muyy = syy / denom - cy * cy + 1.0 / 12.0
-    muxx = sxx / denom - cx * cx + 1.0 / 12.0
-    muxy = sxy / denom - cy * cx
-    common = jnp.sqrt(jnp.maximum((muyy - muxx) ** 2 + 4 * muxy**2, 0.0))
-    l1 = (muyy + muxx + common) / 2.0
-    l2 = (muyy + muxx - common) / 2.0
-    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
-    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
-    ecc = jnp.sqrt(jnp.maximum(1.0 - (l2 / jnp.maximum(l1, 1e-12)), 0.0))
-    orientation = 0.5 * jnp.arctan2(2.0 * muxy, muxx - muyy)
 
     # perimeter: pixels with a 4-neighbor outside the same label
     lab = labels.astype(jnp.int32)
@@ -151,9 +157,39 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
     left = pad[1:-1, :-2] != lab
     right = pad[1:-1, 2:] != lab
     boundary = (up | down | left | right) & inside
-    perim = jax.ops.segment_sum(
-        boundary.reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
+
+    # plain sums as chunked one-hot matmuls (scatters serialize on TPU).
+    # Two passes: first the linear sums, then the second moments over
+    # CENTERED coordinates — centering before squaring keeps the sums at
+    # object scale (global-coordinate quadratics would lose the central
+    # moments to cancellation under the hi/lo bf16 split).
+    yf = yy.reshape(-1)
+    xf = xx.reshape(-1)
+    payload = jnp.stack(
+        [ones, yf * ones, xf * ones, boundary.reshape(-1).astype(jnp.float32)],
+        axis=1,
     )
+    sums = segment_matmul_sums(seg, payload, max_cells)
+    area, sy, sx, perim = (sums[:, i] for i in range(4))
+    denom = jnp.maximum(area, 1.0)
+    cy, cx = sy / denom, sx / denom
+
+    yc = (yf - jnp.take(cy, seg)) * ones
+    xc = (xf - jnp.take(cx, seg)) * ones
+    sums2 = segment_matmul_sums(
+        seg, jnp.stack([yc * yc, xc * xc, yc * xc], axis=1), max_cells
+    )
+    # central second moments (pixel-center convention: +1/12 per axis)
+    muyy = sums2[:, 0] / denom + 1.0 / 12.0
+    muxx = sums2[:, 1] / denom + 1.0 / 12.0
+    muxy = sums2[:, 2] / denom
+    common = jnp.sqrt(jnp.maximum((muyy - muxx) ** 2 + 4 * muxy**2, 0.0))
+    l1 = (muyy + muxx + common) / 2.0
+    l2 = (muyy + muxx - common) / 2.0
+    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
+    ecc = jnp.sqrt(jnp.maximum(1.0 - (l2 / jnp.maximum(l1, 1e-12)), 0.0))
+    orientation = 0.5 * jnp.arctan2(2.0 * muxy, muxx - muyy)
 
     big = jnp.float32(1e9)
     ymin = jax.ops.segment_min(
@@ -247,21 +283,27 @@ def correlation_features(
     ch_a: jax.Array, ch_b: jax.Array, labels: jax.Array, max_cells: int = 1024
 ):
     """CP MeasureColocalization core per object: Pearson correlation and
-    least-squares slope between two channels inside each object."""
+    least-squares slope between two channels inside each object.
+
+    One-hot matmul sums (scatters serialize on TPU); covariances use
+    centered values to survive the hi/lo bf16 split."""
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
     seg = _flat(labels, max_cells)
     inside = (labels > 0).reshape(-1).astype(jnp.float32)
     a = ch_a.reshape(-1).astype(jnp.float32) * inside
     b = ch_b.reshape(-1).astype(jnp.float32) * inside
-    n = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
-    sa = jax.ops.segment_sum(a, seg, num_segments=max_cells)
-    sb = jax.ops.segment_sum(b, seg, num_segments=max_cells)
-    saa = jax.ops.segment_sum(a * a, seg, num_segments=max_cells)
-    sbb = jax.ops.segment_sum(b * b, seg, num_segments=max_cells)
-    sab = jax.ops.segment_sum(a * b, seg, num_segments=max_cells)
+    sums = segment_matmul_sums(seg, jnp.stack([inside, a, b], axis=1), max_cells)
+    n, sa, sb = sums[:, 0], sums[:, 1], sums[:, 2]
     denom = jnp.maximum(n, 1.0)
-    cov = sab / denom - (sa / denom) * (sb / denom)
-    va = jnp.maximum(saa / denom - (sa / denom) ** 2, 0.0)
-    vb = jnp.maximum(sbb / denom - (sb / denom) ** 2, 0.0)
+    ac = (a - jnp.take(sa / denom, seg)) * inside
+    bc = (b - jnp.take(sb / denom, seg)) * inside
+    sums2 = segment_matmul_sums(
+        seg, jnp.stack([ac * ac, bc * bc, ac * bc], axis=1), max_cells
+    )
+    va = jnp.maximum(sums2[:, 0] / denom, 0.0)
+    vb = jnp.maximum(sums2[:, 1] / denom, 0.0)
+    cov = sums2[:, 2] / denom
     corr = cov / jnp.maximum(jnp.sqrt(va * vb), 1e-12)
     slope = cov / jnp.maximum(va, 1e-12)
     zero = n <= 1

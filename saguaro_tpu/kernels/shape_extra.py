@@ -137,26 +137,25 @@ def convex_features(
 
     area = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
 
+    # ALL directions as one (N, n_dirs) payload: TPU scatters serialize
+    # per pass, so one 72-lane segment_max beats 72 scalar ones ~n_dirs x
     thetas = np.linspace(0.0, 2.0 * np.pi, n_dirs, endpoint=False)
-    pts_y, pts_x, supports = [], [], []
-    for t in thetas:
-        cy, sx = float(np.cos(t)), float(np.sin(t))
-        s = y * cy + x * sx
-        s_masked = jnp.where(flat > 0, s, -big)
-        smax = jax.ops.segment_max(s_masked, seg, num_segments=max_cells)
-        supports.append(smax)
-        # the extreme pixel: smallest linear index attaining the max
-        at_max = s_masked >= jnp.take(smax, seg) - 1e-3
-        pick = jax.ops.segment_min(
-            jnp.where(at_max & (flat > 0), idx, big), seg, num_segments=max_cells
-        )
-        pick_i = jnp.clip(pick, 0, h * w - 1).astype(jnp.int32)
-        pts_y.append(jnp.take(y, pick_i))
-        pts_x.append(jnp.take(x, pick_i))
-
-    py = jnp.stack(pts_y, axis=1)  # (max_cells, n_dirs)
-    px = jnp.stack(pts_x, axis=1)
-    sup = jnp.stack(supports, axis=1)
+    cos = jnp.asarray(np.cos(thetas), jnp.float32)
+    sin = jnp.asarray(np.sin(thetas), jnp.float32)
+    s_all = y[:, None] * cos[None, :] + x[:, None] * sin[None, :]  # (N, D)
+    s_masked = jnp.where((flat > 0)[:, None], s_all, -big)
+    sup = jax.ops.segment_max(s_masked, seg, num_segments=max_cells)  # (C, D)
+    # the extreme pixel per (object, direction): smallest linear index
+    # attaining the directional max
+    at_max = s_masked >= jnp.take(sup, seg, axis=0) - 1e-3
+    pick = jax.ops.segment_min(
+        jnp.where(at_max & (flat > 0)[:, None], idx[:, None], big),
+        seg,
+        num_segments=max_cells,
+    )
+    pick_i = jnp.clip(pick, 0, h * w - 1).astype(jnp.int32)  # (C, D)
+    py = jnp.take(y, pick_i)
+    px = jnp.take(x, pick_i)
 
     # shoelace + perimeter over the angularly ordered extreme points
     py2 = jnp.roll(py, -1, axis=1)

@@ -54,14 +54,14 @@ class TestMoments:
             want = _oracle(lab == i)
             area = float((lab == i).sum())
             for k, v in want.items():
-                # Spatial/Central sums scale as area^(1+(p+q)/2); f32
-                # rounding leaves ~1e-9 of that scale on exact-zero
+                # Spatial/Central sums scale as area^(1+(p+q)/2); the hi/lo-bf16
+                # one-hot matmul leaves ~1e-8..1e-5 of that scale on near-zero
                 # (symmetric) moments, so the absolute floor must scale too
                 fam = k.split("_")[0]
                 if fam in ("SpatialMoment", "CentralMoment"):
                     p_, q_ = int(k.split("_")[1]), int(k.split("_")[2])
                     # + centroid f32 rounding propagated through order-1 sums
-                    atol = 2e-9 * area ** (1 + (p_ + q_) / 2) + 1e-6 * area * 64
+                    atol = 3e-8 * area ** (1 + (p_ + q_) / 2) + 1e-6 * area * 64
                 else:
                     atol = 1e-6
                 np.testing.assert_allclose(
