@@ -26,14 +26,6 @@ TIMES = ["6", "24"]
 CHANNELS = ("DNA", "GFP")
 
 
-def _gt_segmenter_for(paths_by_key):
-    """Segmenter that returns ground-truth masks by matching image content
-    is impossible; instead we look sites up by call order per job."""
-    # Simpler: the fixture's masks are keyed by (well, site); run_batch
-    # passes images only, so wrap a stateful iterator per job.
-    raise NotImplementedError
-
-
 @pytest.fixture(scope="module")
 def screen(tmp_path_factory):
     """A miniature screen: bucket/<plate>/<time> layout with images +
