@@ -114,12 +114,37 @@ def bench_segment():
     }
 
 
+def bench_measure():
+    """CP-equivalent measurement, batched (the full 5-channel set)."""
+    from saguaro_tpu.pipeline.features import FeatureConfig, measure_site_batch
+
+    size, n_ch, b = 1080, 5, 4
+    rng = np.random.default_rng(0)
+    images = (rng.random((b, size, size, n_ch)) * 1000).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    nuclei = np.zeros((b, size, size), np.int32)
+    k = 0
+    for cy in range(40, size, 64):
+        for cx in range(40, size, 64):
+            k += 1
+            nuclei[:, (yy - cy) ** 2 + (xx - cx) ** 2 <= 20**2] = k
+    cfg = FeatureConfig(channels=tuple(f"ch{i}" for i in range(n_ch)), max_cells=512)
+    dt = _timeit(lambda: measure_site_batch(images, nuclei, cfg), 2)
+    return {
+        "stage": "cp_measure_1080px_5ch_batch4",
+        "value": round(dt / b, 2),
+        "unit": "s/site",
+        "cells_per_site": k,
+    }
+
+
 STAGES = {
     "maxproj": bench_maxproj,
     "rebin": bench_rebin,
     "qc": bench_qc,
     "embed": bench_embed,
     "segment": bench_segment,
+    "measure": bench_measure,
 }
 
 

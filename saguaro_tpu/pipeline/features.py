@@ -35,10 +35,8 @@ from saguaro_tpu.kernels.glcm import (
     object_glcm_multichannel,
 )
 from saguaro_tpu.kernels.objects_extra import (
-    edge_intensity_features,
     neighbor_features,
     quantile_intensity_features,
-    radial_distribution_features,
 )
 from saguaro_tpu.kernels.morphology import (
     expand_labels,
@@ -46,12 +44,7 @@ from saguaro_tpu.kernels.morphology import (
     propagate_labels,
     tertiary_objects,
 )
-from saguaro_tpu.kernels.segment_reduce import (
-    correlation_features,
-    euler_numbers,
-    intensity_features,
-    shape_features,
-)
+from saguaro_tpu.kernels.segment_reduce import euler_numbers, shape_features
 
 __all__ = ["FeatureConfig", "measure_site", "measure_site_batch", "otsu_threshold"]
 
@@ -180,38 +173,45 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                         feats[
                             f"Texture_{k}_{cfg.channels[c]}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
                         ] = har[k][d]
+        # intensity + correlation for ALL channels/pairs: 2 one-hot matmul
+        # passes instead of C + C(C-1)/2 per-channel kernel calls
+        from saguaro_tpu.kernels.multichannel import (
+            edge_intensity_multichannel,
+            multichannel_stats,
+            radial_distribution_multichannel,
+        )
+
+        inten_mc, corr_mc = multichannel_stats(image, labels, cfg.max_cells)
         for c in range(n_ch):
             ch_name = cfg.channels[c]
-            inten = intensity_features(image[..., c], labels, cfg.max_cells)
-            for k, v in inten.items():
+            for k, v in inten_mc.items():
                 if k.startswith(("CenterMassIntensity", "MaxIntensity_")):
                     # CP emits these under Location_ (MeasureObjectIntensity)
-                    feats[f"Location_{k}_{ch_name}"] = v
+                    feats[f"Location_{k}_{ch_name}"] = v[:, c]
                 else:
-                    feats[f"Intensity_{k}_{ch_name}"] = v
+                    feats[f"Intensity_{k}_{ch_name}"] = v[:, c]
             if cfg.measure_quantiles:
                 quant = quantile_intensity_features(image[..., c], labels, cfg.max_cells)
                 for k, v in quant.items():
                     feats[f"Intensity_{k}_{ch_name}"] = v
-            if cfg.measure_edge:
-                edge = edge_intensity_features(image[..., c], labels, cfg.max_cells)
+        if cfg.measure_edge:
+            edge = edge_intensity_multichannel(image, labels, cfg.max_cells)
+            for c in range(n_ch):
                 for k, v in edge.items():
-                    feats[f"Intensity_{k}_{ch_name}"] = v
-            if cfg.measure_radial:
-                rad = radial_distribution_features(
-                    image[..., c], labels, cfg.max_cells, cfg.radial_rings
-                )
+                    feats[f"Intensity_{k}_{cfg.channels[c]}"] = v[:, c]
+        if cfg.measure_radial:
+            rad = radial_distribution_multichannel(
+                image, labels, cfg.max_cells, cfg.radial_rings
+            )
+            for c in range(n_ch):
+                ch_name = cfg.channels[c]
                 for r in range(cfg.radial_rings):
-                    feats[f"RadialDistribution_FracAtD_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["FracAtD"][:, r]
-                    feats[f"RadialDistribution_MeanFrac_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["MeanFrac"][:, r]
-        for a in range(n_ch):
-            for b in range(a + 1, n_ch):
-                corr = correlation_features(
-                    image[..., a], image[..., b], labels, cfg.max_cells
-                )
-                pair = f"{cfg.channels[a]}_{cfg.channels[b]}"
-                feats[f"Correlation_Correlation_{pair}"] = corr["Correlation"]
-                feats[f"Correlation_Slope_{pair}"] = corr["Slope"]
+                    feats[f"RadialDistribution_FracAtD_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["FracAtD"][:, r, c]
+                    feats[f"RadialDistribution_MeanFrac_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["MeanFrac"][:, r, c]
+        for (a, b), (corr_ab, slope_ab) in corr_mc.items():
+            pair = f"{cfg.channels[a]}_{cfg.channels[b]}"
+            feats[f"Correlation_Correlation_{pair}"] = corr_ab
+            feats[f"Correlation_Slope_{pair}"] = slope_ab
         out["objects"][obj_name] = feats
         out["image"][f"Count_{obj_name}"] = jnp.sum(
             (shape["Area"] > 0).astype(jnp.int32)
@@ -272,10 +272,20 @@ def _measure_flat(images: jax.Array, nuclei: jax.Array, cfg: FeatureConfig, batc
     return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
 
 
-def _measure_fetch(images, nuclei, cfg, batched: bool):
-    """Run + fetch a measurement as one transfer; rebuild the tree."""
+def _measure_fetch(images, nuclei, cfg, batched: bool, mesh=None):
+    """Run + fetch a measurement as one transfer; rebuild the tree.
+
+    With ``mesh`` (and a site batch divisible by its data axis) the batch
+    is sharded over 'data' and XLA partitions the whole measurement
+    program across the slice — the CellProfiler-fleet replacement at
+    multi-chip scale."""
     images = jnp.asarray(images, jnp.float32)
     nuclei = jnp.asarray(nuclei, jnp.int32)
+    if mesh is not None and batched and images.shape[0] % mesh.shape["data"] == 0:
+        from saguaro_tpu.parallel.mesh import shard_batch
+
+        images = shard_batch(images, mesh)
+        nuclei = shard_batch(nuclei, mesh)
     treedef, leaf_specs = _result_spec(images.shape, nuclei.shape, cfg, batched)
     flat = np.asarray(_measure_flat(images, nuclei, cfg, batched))
     leaves, off = [], 0
@@ -293,6 +303,7 @@ def measure_site_batch(
     cfg: FeatureConfig,
     image_numbers: list[int] | None = None,
     metadata: list[dict] | None = None,
+    mesh=None,
 ) -> list[dict[str, pd.DataFrame]]:
     """Measure a same-shape site batch as ONE device program.
 
@@ -304,7 +315,7 @@ def measure_site_batch(
     b = len(images)
     image_numbers = image_numbers or list(range(1, b + 1))
     metadata = metadata or [{}] * b
-    res = _measure_fetch(images, nuclei_labels, cfg, batched=True)
+    res = _measure_fetch(images, nuclei_labels, cfg, batched=True, mesh=mesh)
     return [
         _tables_from_result(
             jax.tree.map(lambda a, i=i: a[i], res), image_numbers[i], metadata[i]
