@@ -43,6 +43,7 @@ __all__ = [
     "compute_masks_batch",
     "centroid_flows",
     "flow_qc_error",
+    "flow_qc_error_batch",
     "relabel_consecutive",
 ]
 
@@ -189,6 +190,18 @@ def flow_qc_error(
     ex = (flows[1].reshape(-1) - gx) ** 2
     err = jax.ops.segment_sum((ey + ex) * valid, seg, num_segments=max_cells)
     return err / jnp.maximum(cnt, 1), cnt
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def flow_qc_error_batch(
+    labels: jax.Array, flows: jax.Array, max_cells: int = 4096
+) -> tuple[jax.Array, jax.Array]:
+    """Batched flow_qc_error: (B, H, W) + (B, 2, H, W) ->
+    ((B, max_cells) errors, (B, max_cells) counts) in ONE device program —
+    per-site dispatches cost ~30 ms each through this environment's
+    host<->device relay (BENCH.md), so a site batch scores its QC with a
+    single round-trip."""
+    return jax.vmap(lambda l, f: flow_qc_error(l, f, max_cells))(labels, flows)
 
 
 def compute_masks(

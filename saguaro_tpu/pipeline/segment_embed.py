@@ -237,6 +237,43 @@ class SegmentEmbedEngine:
         out = lut[labels]
         return relabel_consecutive(out)
 
+    def _drop_bad_flow_masks_batch(
+        self, labels_list: list[np.ndarray], flows: np.ndarray
+    ) -> list[np.ndarray]:
+        """Batched flow-error QC: ONE device program scores every site
+        (flow_qc_error_batch); the per-site LUT filtering stays on host.
+        Identical results to _drop_bad_flow_masks per site."""
+        from saguaro_tpu.kernels.flow_ode import flow_qc_error_batch
+
+        labels_arr = np.stack([np.asarray(l) for l in labels_list])
+        maxes = labels_arr.reshape(len(labels_list), -1).max(axis=1)
+        if not (maxes > 0).any():
+            return [labels_arr[i] for i in range(len(labels_list))]
+        errs, _ = flow_qc_error_batch(
+            jnp.asarray(labels_arr),
+            jnp.asarray(flows, jnp.float32),
+            max_cells=self.cfg.max_cells,
+        )
+        errs = np.asarray(errs)  # one packed fetch for the whole batch
+        out = []
+        for i in range(len(labels_list)):
+            lab, n = labels_arr[i], int(maxes[i])
+            if n == 0:
+                out.append(lab)
+                continue
+            err = errs[i]
+            bad = np.where(
+                (err > self.cfg.flow_error_threshold) & (np.arange(len(err)) > 0)
+            )[0]
+            bad = bad[bad <= n]
+            if bad.size == 0:
+                out.append(lab)
+                continue
+            lut = np.arange(n + 1, dtype=lab.dtype)
+            lut[bad] = 0
+            out.append(relabel_consecutive(lut[lab]))
+        return out
+
     def segment_batch(self, images) -> list:
         """Batched segment: (B, H, W, C) -> list of B label masks (device
         arrays at full resolution; use np.asarray to materialize).
@@ -279,10 +316,7 @@ class SegmentEmbedEngine:
             min_size=min_size_low,
         )
         if cfg.flow_error_threshold is not None:
-            labels_low = [
-                self._drop_bad_flow_masks(lab, flows[i] / 5.0)
-                for i, lab in enumerate(labels_low)
-            ]
+            labels_low = self._drop_bad_flow_masks_batch(labels_low, flows / 5.0)
         if cfg.fill_holes:
             labels_low = [fill_label_holes(np.asarray(l)) for l in labels_low]
         if (h1, w1) == (h0, w0):

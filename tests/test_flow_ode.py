@@ -96,6 +96,36 @@ class TestFlowRecovery:
             assert cnt[lab] > 0
             assert err[lab] < 0.1
 
+    def test_flow_qc_batch_matches_per_site(self):
+        """The engine's batched QC path (ONE device program per site batch)
+        must produce exactly the per-site _drop_bad_flow_masks results."""
+        from saguaro_tpu.pipeline.segment_embed import (
+            SegmentEmbedConfig,
+            SegmentEmbedEngine,
+        )
+
+        gt1 = _disk_labels(centers=((64, 64), (32, 32)), r=12)
+        gt2 = _disk_labels(centers=((96, 96),), r=10)
+        flows1 = centroid_flows(gt1)
+        # site 2 carries a deliberately INCONSISTENT flow field for cell 1
+        # (points away from the centroid) so the QC drops it
+        flows2 = -centroid_flows(gt2)
+        cfg = SegmentEmbedConfig(channels=["DNA"], flow_error_threshold=0.4)
+        engine = SegmentEmbedEngine.__new__(SegmentEmbedEngine)
+        engine.cfg = cfg
+
+        per_site = [
+            engine._drop_bad_flow_masks(gt1.copy(), flows1),
+            engine._drop_bad_flow_masks(gt2.copy(), flows2),
+        ]
+        batched = engine._drop_bad_flow_masks_batch(
+            [gt1.copy(), gt2.copy()], np.stack([flows1, flows2])
+        )
+        assert per_site[1].max() == 0  # the inconsistent site was dropped
+        assert per_site[0].max() == 2  # the consistent site survived
+        for a, b in zip(per_site, batched):
+            np.testing.assert_array_equal(a, b)
+
     def test_relabel_consecutive(self):
         labels = np.array([[0, 5, 5], [9, 9, 9], [0, 0, 2]], np.int32)
         out = relabel_consecutive(labels)
