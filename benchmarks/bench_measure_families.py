@@ -94,9 +94,12 @@ def bench_measure():
 
     results = {}
 
-    def rec(name, fn, iters=2):
+    def rec(name, fn, *args, iters=2):
+        # inputs are jit ARGUMENTS — closure capture bakes them into the
+        # HLO as constants and lets XLA constant-fold, corrupting timings
         try:
-            dt = timed(fn, iters)
+            jf = jax.jit(fn)
+            dt = timed(lambda: jf(*args), iters)
             results[name] = round(dt / B, 4)
             print(json.dumps({"family": name, "s_per_site": results[name]}), flush=True)
         except Exception as e:  # keep profiling even if one family breaks
@@ -104,69 +107,59 @@ def bench_measure():
 
     vm = jax.vmap
 
-    rec("otsu", jax.jit(lambda: vm(otsu_threshold)(body)))
+    rec("otsu", lambda b: vm(otsu_threshold)(b), body)
     thr = vm(otsu_threshold)(body)
     rec(
         "propagate_labels_24it",
-        jax.jit(
-            lambda: vm(lambda l, b2, t: propagate_labels(l, b2, t, iterations=24))(
-                labs, body, thr
-            )
+        lambda l, b2, t: jnp.sum(
+            vm(lambda li, bi, ti: propagate_labels(li, bi, ti, iterations=24))(l, b2, t)
         ),
+        labs, body, thr,
     )
     cells = vm(lambda l, b2, t: propagate_labels(l, b2, t, iterations=24))(labs, body, thr)
-    rec("tertiary", jax.jit(lambda: vm(tertiary_objects)(cells, labs)))
+    rec("tertiary", lambda c, l: jnp.sum(vm(tertiary_objects)(c, l)), cells, labs)
 
     # one object set (x3 for the full program)
-    rec("shape", jax.jit(lambda: vm(lambda l: shape_features(l, MAX_CELLS))(labs)))
-    rec("euler", jax.jit(lambda: vm(lambda l: euler_numbers(l, MAX_CELLS))(labs)))
-    rec("radius", jax.jit(lambda: vm(lambda l: radius_features(l, MAX_CELLS, 48))(labs)))
-    rec("convex", jax.jit(lambda: vm(lambda l: convex_features(l, MAX_CELLS, 72))(labs)))
-    rec("moments", jax.jit(lambda: vm(lambda l: moments_features(l, MAX_CELLS))(labs)))
-    rec("zernike", jax.jit(lambda: vm(lambda l: zernike_features(l, MAX_CELLS))(labs)))
-    rec(
-        "neighbors",
-        jax.jit(lambda: vm(lambda l: neighbor_features(l, MAX_CELLS, 5))(labs)),
-    )
+    rec("shape", lambda l: vm(lambda li: shape_features(li, MAX_CELLS))(l), labs)
+    rec("euler", lambda l: vm(lambda li: euler_numbers(li, MAX_CELLS))(l), labs)
+    rec("radius", lambda l: vm(lambda li: radius_features(li, MAX_CELLS, 48))(l), labs)
+    rec("convex", lambda l: vm(lambda li: convex_features(li, MAX_CELLS, 72))(l), labs)
+    rec("moments", lambda l: vm(lambda li: moments_features(li, MAX_CELLS))(l), labs)
+    rec("zernike", lambda l: vm(lambda li: zernike_features(li, MAX_CELLS))(l), labs)
+    rec("neighbors", lambda l: vm(lambda li: neighbor_features(li, MAX_CELLS, 5))(l), labs)
     rec(
         "quantiles_1ch",
-        jax.jit(
-            lambda: vm(lambda im, l: quantile_intensity_features(im, l, MAX_CELLS))(
-                images[..., 0], labs
-            )
-        ),
+        lambda im, l: vm(lambda i, li: quantile_intensity_features(i, li, MAX_CELLS))(im, l),
+        images[..., 0], labs,
     )
     rec(
         "glcm_haralick_1ch",
-        jax.jit(
-            lambda: vm(
-                lambda im, l: haralick_features(object_glcm(im, l, MAX_CELLS, 16, 3))
-            )(images[..., 0], labs)
-        ),
+        lambda im, l: vm(
+            lambda i, li: haralick_features(object_glcm(i, li, MAX_CELLS, 16, 3))
+        )(im, l),
+        images[..., 0], labs,
     )
     rec(
         "multichannel_stats",
-        jax.jit(lambda: vm(lambda im, l: multichannel_stats(im, l, MAX_CELLS))(images, labs)),
+        lambda im, l: vm(lambda i, li: multichannel_stats(i, li, MAX_CELLS))(im, l),
+        images, labs,
     )
     rec(
         "edge_mc",
-        jax.jit(
-            lambda: vm(lambda im, l: edge_intensity_multichannel(im, l, MAX_CELLS))(
-                images, labs
-            )
-        ),
+        lambda im, l: vm(lambda i, li: edge_intensity_multichannel(i, li, MAX_CELLS))(im, l),
+        images, labs,
     )
     rec(
         "radial_mc",
-        jax.jit(
-            lambda: vm(
-                lambda im, l: radial_distribution_multichannel(im, l, MAX_CELLS, 4)
-            )(images, labs)
-        ),
+        lambda im, l: vm(
+            lambda i, li: radial_distribution_multichannel(i, li, MAX_CELLS, 4)
+        )(im, l),
+        images, labs,
     )
     rec(
         "granularity_1ch",
-        jax.jit(lambda: vm(lambda im: granularity_spectrum(im, 16))(images[..., 0])),
+        lambda im: vm(lambda i: granularity_spectrum(i, 16))(im),
+        images[..., 0],
     )
 
     per_obj = sum(

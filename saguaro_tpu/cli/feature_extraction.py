@@ -48,7 +48,7 @@ def main(argv=None):
         channels=list(args.channels),
         image_path_for_job=lambda p, t: args.image_path_template.format(plate=p, time=t),
         load_data_key_for_job=lambda p, t: args.load_data_template.format(plate=p, time=t),
-        segmenter=engine.segment,
+        segmenter=engine,  # exposes segment_batch: chunks segment as ONE program
         feature_cfg=FeatureConfig(channels=tuple(args.channels), max_cells=args.max_cells),
     )
 

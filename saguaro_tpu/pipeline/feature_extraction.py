@@ -44,19 +44,27 @@ def run_feature_extraction_job(
     feature_cfg: FeatureConfig | None = None,
     illum_path: str | None = None,
     site_batch: int = 8,
+    mesh=None,
 ) -> dict[str, str]:
     """One (plate, time) job: segment + measure every site, write 4 tables.
 
-    ``segmenter(image) -> labels`` supplies nuclei masks (the segmentation
-    engine, or ground truth in tests). Same-shape sites are measured in
-    device batches of ``site_batch`` (ONE program per batch); a failing
-    batch degrades to per-site measurement, a failing site to an
-    empty-table placeholder (reference contract).
+    ``segmenter`` supplies nuclei masks: either a plain callable
+    ``segmenter(image) -> labels`` (ground truth in tests) or an
+    engine-like object exposing ``.segment(image)`` and optionally
+    ``.segment_batch(images) -> list`` (SegmentEmbedEngine) — batches of
+    ``site_batch`` same-shape sites are then segmented AND measured as
+    single device programs. ``mesh`` shards the measurement batch over
+    the 'data' axis (the CellProfiler-fleet replacement at slice scale).
+    A failing batch degrades to per-site work, a failing site to an
+    empty-table placeholder (reference contract,
+    Cellpose_GPU_s3fs.py:228-232).
     """
     from saguaro_tpu.pipeline.features import measure_site_batch
 
     cfg = feature_cfg or FeatureConfig(channels=tuple(channels))
     illum = load_illum_functions(illum_path, channels) if illum_path else None
+    seg_one = getattr(segmenter, "segment", segmenter)
+    seg_batch = getattr(segmenter, "segment_batch", None)
 
     def empty_tables(image_number: int, metadata: dict) -> dict[str, pd.DataFrame]:
         return {
@@ -66,7 +74,7 @@ def run_feature_extraction_job(
             for name in ("Image", "Nuclei", "Cells", "Cytoplasm")
         }
 
-    # load + segment per site (host I/O), bucket same-shape sites
+    # host I/O: load channels + illum-correct, bucket same-shape sites
     per_site_tables: dict[int, dict[str, pd.DataFrame]] = {}
     buckets: dict[tuple, list] = {}
     metas: dict[int, dict] = {}
@@ -82,8 +90,7 @@ def run_feature_extraction_job(
                     img = img / illum[k]
                 chans.append(img)
             image = np.stack(chans, axis=-1)
-            labels = np.asarray(segmenter(image))
-            buckets.setdefault(image.shape, []).append((image_number, image, labels))
+            buckets.setdefault(image.shape, []).append((image_number, image))
         except Exception as e:
             logger.error("site %d failed: %s", image_number, e)
             per_site_tables[image_number] = empty_tables(image_number, metadata)
@@ -102,20 +109,50 @@ def run_feature_extraction_job(
     for items in buckets.values():
         for s in range(0, len(items), site_batch):
             chunk = items[s : s + site_batch]
-            nums = [n for n, _, _ in chunk]
+            # segment the chunk as one device program when available
+            labels_list: list = [None] * len(chunk)
+            if seg_batch is not None:
+                try:
+                    labels_list = [
+                        np.asarray(l)
+                        for l in seg_batch(np.stack([im for _, im in chunk]))
+                    ]
+                except Exception as e:
+                    logger.error(
+                        "batched segmentation failed (%s); per-site fallback", e
+                    )
+                    labels_list = [None] * len(chunk)
+            for j, (n, im) in enumerate(chunk):
+                if labels_list[j] is None:
+                    try:
+                        labels_list[j] = np.asarray(seg_one(im))
+                    except Exception as e:
+                        logger.error("site %d segmentation failed: %s", n, e)
+            ok = [
+                (n, im, lb)
+                for (n, im), lb in zip(chunk, labels_list)
+                if lb is not None
+            ]
+            for (n, im), lb in zip(chunk, labels_list):
+                if lb is None:
+                    per_site_tables[n] = empty_tables(n, metas[n])
+            if not ok:
+                continue
+            nums = [n for n, _, _ in ok]
             try:
                 batch_tables = measure_site_batch(
-                    np.stack([im for _, im, _ in chunk]),
-                    np.stack([lb for _, _, lb in chunk]),
+                    np.stack([im for _, im, _ in ok]),
+                    np.stack([lb for _, _, lb in ok]),
                     cfg,
                     image_numbers=nums,
                     metadata=[metas[n] for n in nums],
+                    mesh=mesh,
                 )
                 for n, t in zip(nums, batch_tables):
                     per_site_tables[n] = t
             except Exception as e:
                 logger.error("batch %s failed (%s); per-site fallback", nums, e)
-                for n, im, lb in chunk:
+                for n, im, lb in ok:
                     measure_one(n, im, lb)
 
     all_tables: dict[str, list[pd.DataFrame]] = {}
@@ -142,6 +179,7 @@ def run_batch_processing(
     segmenter,
     feature_cfg: FeatureConfig | None = None,
     resume: bool = True,
+    mesh=None,
 ) -> dict[tuple[str, str], dict[str, str]]:
     """Walk the (plate x time) job grid — the fleet orchestrator's role
     (Feature_extraction_opt.py:73-145) without EC2/SSM: jobs run on the
@@ -181,6 +219,7 @@ def run_batch_processing(
             channels,
             segmenter,
             feature_cfg,
+            mesh=mesh,
         )
         if manifest is not None:
             manifest.mark_done(unit, n_sites=len(load_data))
