@@ -35,15 +35,24 @@ _NBINS = 256
 
 
 @partial(jax.jit, static_argnames=("max_cells",))
-def quantile_intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 1024):
+def quantile_intensity_features(
+    image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None
+):
     """Median/MAD/LowerQuartile/UpperQuartile intensity per object via
-    per-object histograms (256 bins over the object's own range)."""
+    per-object histograms (256 bins over the object's own range).
+
+    ``stats``: optional precomputed (cnt, vmin, vmax) — e.g. from
+    kernels/fused_measure — skipping this kernel's own segment_stats
+    passes over the pixel array."""
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1)
     v = image.reshape(-1).astype(jnp.float32)
 
-    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    if stats is None:
+        cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    else:
+        cnt, vmin, vmax = stats
     vrange = jnp.maximum(vmax - vmin, 1e-12)
     pmin = jnp.take(vmin, seg)
     prange = jnp.take(vrange, seg)

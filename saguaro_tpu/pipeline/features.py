@@ -44,7 +44,7 @@ from saguaro_tpu.kernels.morphology import (
     propagate_labels,
     tertiary_objects,
 )
-from saguaro_tpu.kernels.segment_reduce import euler_numbers, shape_features
+from saguaro_tpu.kernels.segment_reduce import euler_numbers
 
 __all__ = ["FeatureConfig", "measure_site", "measure_site_batch", "otsu_threshold"]
 
@@ -123,9 +123,26 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
     objects = {"Nuclei": nuclei, "Cells": cells, "Cytoplasm": cyto}
     out: dict = {"objects": {}, "image": {}}
 
+    from saguaro_tpu.kernels.fused_measure import fused_object_features
+
     for obj_name, labels in objects.items():
         feats: dict[str, jax.Array] = {}
-        shape = shape_features(labels, cfg.max_cells)
+        # every payload-sum family (shape, moments, Zernike, intensity,
+        # correlation, edge, radial) in ONE fixed pass structure — pass
+        # count over the pixel array, not lane count, is the site budget
+        # (kernels/fused_measure.py; per-family kernels are the tested
+        # reference implementations)
+        fused = fused_object_features(
+            image,
+            labels,
+            cfg.max_cells,
+            n_rings=cfg.radial_rings,
+            with_moments=cfg.measure_moments,
+            with_zernike=cfg.measure_zernike,
+            with_edge=cfg.measure_edge,
+            with_radial=cfg.measure_radial,
+        )
+        shape = fused["shape"]
         for k, v in shape.items():
             feats[f"AreaShape_{k}"] = v
         feats["Location_Center_X"] = shape["Center_X"]
@@ -144,14 +161,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             for k, v in convex_features(labels, cfg.max_cells, cfg.convex_dirs).items():
                 feats[f"AreaShape_{k}"] = v
         if cfg.measure_moments:
-            from saguaro_tpu.kernels.moments import moments_features
-
-            for k, v in moments_features(labels, cfg.max_cells).items():
+            for k, v in fused["moments"].items():
                 feats[f"AreaShape_{k}"] = v
         if cfg.measure_zernike:
-            from saguaro_tpu.kernels.zernike import ZERNIKE_INDEXES, zernike_features
+            from saguaro_tpu.kernels.zernike import ZERNIKE_INDEXES
 
-            zmag = zernike_features(labels, cfg.max_cells)
+            zmag = fused["zernike"]
             for zi, (n, m) in enumerate(ZERNIKE_INDEXES):
                 feats[f"AreaShape_Zernike_{n}_{m}"] = zmag[:, zi]
         if cfg.measure_neighbors:
@@ -173,15 +188,8 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                         feats[
                             f"Texture_{k}_{cfg.channels[c]}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
                         ] = har[k][d]
-        # intensity + correlation for ALL channels/pairs: 2 one-hot matmul
-        # passes instead of C + C(C-1)/2 per-channel kernel calls
-        from saguaro_tpu.kernels.multichannel import (
-            edge_intensity_multichannel,
-            multichannel_stats,
-            radial_distribution_multichannel,
-        )
-
-        inten_mc, corr_mc = multichannel_stats(image, labels, cfg.max_cells)
+        inten_mc, corr_mc = fused["intensity"], fused["corr"]
+        cnt_f, vmin_f, vmax_f = fused["stats"]
         for c in range(n_ch):
             ch_name = cfg.channels[c]
             for k, v in inten_mc.items():
@@ -191,18 +199,20 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 else:
                     feats[f"Intensity_{k}_{ch_name}"] = v[:, c]
             if cfg.measure_quantiles:
-                quant = quantile_intensity_features(image[..., c], labels, cfg.max_cells)
+                quant = quantile_intensity_features(
+                    image[..., c],
+                    labels,
+                    cfg.max_cells,
+                    stats=(cnt_f, vmin_f[:, c], vmax_f[:, c]),
+                )
                 for k, v in quant.items():
                     feats[f"Intensity_{k}_{ch_name}"] = v
         if cfg.measure_edge:
-            edge = edge_intensity_multichannel(image, labels, cfg.max_cells)
             for c in range(n_ch):
-                for k, v in edge.items():
+                for k, v in fused["edge"].items():
                     feats[f"Intensity_{k}_{cfg.channels[c]}"] = v[:, c]
         if cfg.measure_radial:
-            rad = radial_distribution_multichannel(
-                image, labels, cfg.max_cells, cfg.radial_rings
-            )
+            rad = fused["radial"]
             for c in range(n_ch):
                 ch_name = cfg.channels[c]
                 for r in range(cfg.radial_rings):
