@@ -1,9 +1,11 @@
 """Benchmark: END-TO-END plate throughput on one TPU chip.
 
-Measures every per-site device stage of the production pipeline on
-reference-sized inputs (1080x1080 binned fields, Image_re-binning.py
-default; ~290 cells/site, cellpose diameter=100 setting):
+Measures the production dataflow of the pipeline on reference-sized
+inputs (1080x1080 binned fields, Image_re-binning.py default; ~290
+cells/site, cellpose diameter=100 setting):
 
+  ship      raw uint16 site batch -> device (ONCE per batch; every
+            stage reuses the buffer — the pipeline's data contract)
   segment   U-Net tiled inference + flow-following mask recovery
   embed     200px masked crops -> EfficientNetV2 pooled embeddings
             (cells x channels crops, the reference's 1000-crop batches)
@@ -19,9 +21,12 @@ v5e-8 => 1.5 plates/hour/chip parity. vs_baseline = value / 1.5
 (>1 beats the north star).
 
 Timing notes: warm (post-compile) steady state; device results are
-fetched (np.asarray / scalar sums) because this environment's relay
-under-reports with block_until_ready alone (BENCH.md). Per-stage
-breakdown goes to stderr for BENCH.md bookkeeping.
+fetched (np.asarray / scalar pulls) because this environment's relay
+under-reports with block_until_ready alone (BENCH.md). Host->device
+shipping is timed ONCE per batch, not once per stage: labels and
+intermediates are device-resident in the production pipeline
+(CLAUDE.md architecture invariants). Per-stage breakdown goes to stderr
+for BENCH.md bookkeeping.
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ PARITY_PLATES_PER_HOUR_PER_CHIP = 3600.0 / (300.0 * 8.0)  # north star
 
 def synthetic_site(rng):
     """A 1080^2 2-channel field with ~290 bright nuclei + GT labels."""
-    image = rng.integers(80, 120, (SIZE, SIZE, N_CH)).astype(np.float32)
+    image = rng.integers(80, 120, (SIZE, SIZE, N_CH)).astype(np.uint16)
     labels = np.zeros((SIZE, SIZE), np.int32)
     yy, xx = np.meshgrid(np.arange(SIZE), np.arange(SIZE), indexing="ij")
     k = 0
@@ -49,8 +54,8 @@ def synthetic_site(rng):
             k += 1
             m = (yy - cy) ** 2 + (xx - cx) ** 2 <= 20**2
             labels[m] = k
-            image[m, 0] += 2000.0
-            image[m, 1] += 500.0
+            image[m, 0] += 2000
+            image[m, 1] += 500
     return image, labels, k
 
 
@@ -63,6 +68,7 @@ def timed(fn, iters=2):
 
 
 def main() -> None:
+    import jax
     import jax.numpy as jnp
 
     from saguaro_tpu.pipeline.features import FeatureConfig, measure_site_batch
@@ -77,35 +83,49 @@ def main() -> None:
     engine = SegmentEmbedEngine(cfg, seed=0)
 
     b = cfg.site_batch
-    batch = np.stack([image] * b)
-    labels_b = [labels] * b
+    batch = np.stack([image] * b)  # raw uint16: what the pipeline ships
+
+    def run_ship():
+        # one raw upload per batch + a completion pull (device_put alone
+        # returns before the relay finishes)
+        dev = jnp.asarray(batch)
+        float(jnp.sum(dev[0, :2, :2].astype(jnp.float32)))
+        return dev
+
+    images_dev = run_ship()
 
     def run_segment():
-        out = engine.segment_batch(batch)
+        out = engine.segment_batch(images_dev)
         # force completion with ONE small fetch (labels stay on device)
         np.asarray(jnp.stack([jnp.max(jnp.asarray(l)) for l in out]))
+        return out
+
+    # production labels are device-resident segmentation outputs; GT labels
+    # are uploaded ONCE here and reused (stable cell count across rounds)
+    labels_dev = jnp.asarray(np.stack([labels] * b))
+    labels_list = list(labels_dev)
 
     def run_embed():
-        engine.embed_sites_pooled(batch, labels_b)  # fetches embeddings
+        engine.embed_sites_pooled(images_dev, labels_list)  # fetches embeddings
 
     fcfg = FeatureConfig(channels=tuple(cfg.channels))
-    nuclei_b = np.stack([labels] * b)
 
     def run_measure():
-        measure_site_batch(batch, nuclei_b, fcfg)
+        measure_site_batch(images_dev, labels_dev, fcfg)
 
+    ship_s = timed(run_ship, iters=3) / b
     seg_s = timed(run_segment) / b
     embed_s = timed(run_embed) / b
     feat_s = timed(run_measure) / b
 
-    site_s = seg_s + embed_s + feat_s
+    site_s = ship_s + seg_s + embed_s + feat_s
     plate_s = site_s * SITES_PER_PLATE
     plates_per_hour = 3600.0 / plate_s
 
     print(
-        f"stages (s/site, warm): segment={seg_s:.3f} embed={embed_s:.3f} "
-        f"({n_cells} cells x {N_CH} ch) measure={feat_s:.3f} "
-        f"-> site={site_s:.3f} plate={plate_s:.1f}s/chip",
+        f"stages (s/site, warm): ship={ship_s:.3f} segment={seg_s:.3f} "
+        f"embed={embed_s:.3f} ({n_cells} cells x {N_CH} ch) "
+        f"measure={feat_s:.3f} -> site={site_s:.3f} plate={plate_s:.1f}s/chip",
         file=sys.stderr,
     )
     print(
@@ -113,7 +133,7 @@ def main() -> None:
             {
                 "metric": "end_to_end_plate_throughput",
                 "value": round(plates_per_hour, 4),
-                "unit": "plates/hour/chip (384 sites: segment+embed+CP-features)",
+                "unit": "plates/hour/chip (384 sites: ship+segment+embed+CP-features)",
                 "vs_baseline": round(
                     plates_per_hour / PARITY_PLATES_PER_HOUR_PER_CHIP, 4
                 ),

@@ -8,7 +8,9 @@ shared subexpressions, and packed fetch included). Each config is its
 own compile (minutes through this environment's remote-compile relay),
 so run in background.
 
-Usage: python benchmarks/bench_measure_bisect.py
+Usage: python benchmarks/bench_measure_bisect.py [config ...]
+(default: all; configs: FULL -texture -zernike -moments -quantiles
+-edge -radial -neighbors -convex-radius -propagation MINIMAL)
 """
 
 from __future__ import annotations
@@ -50,9 +52,16 @@ def main():
             measure_site_batch(images, nuclei, cfg)
         return (time.perf_counter() - t0) / iters / B
 
-    full = FeatureConfig(channels=channels, max_cells=512)
-    t_full = timed(full)
-    print(json.dumps({"config": "FULL", "s_per_site": round(t_full, 3)}), flush=True)
+    which = sys.argv[1:] or None
+
+    def want(name):
+        return which is None or name in which
+
+    t_full = None
+    if want("FULL"):
+        full = FeatureConfig(channels=channels, max_cells=512)
+        t_full = timed(full)
+        print(json.dumps({"config": "FULL", "s_per_site": round(t_full, 3)}), flush=True)
 
     toggles = {
         "-texture": dict(measure_texture=False),
@@ -63,45 +72,42 @@ def main():
         "-radial": dict(measure_radial=False),
         "-neighbors": dict(measure_neighbors=False),
         "-convex-radius": dict(measure_convex=False, measure_radius=False),
-        "-propagation(distance)": dict(secondary_method="distance"),
+        "-propagation": dict(secondary_method="distance"),
     }
     for name, kw in toggles.items():
+        if not want(name):
+            continue
         cfg = FeatureConfig(channels=channels, max_cells=512, **kw)
         t = timed(cfg)
+        rec = {"config": name, "s_per_site": round(t, 3)}
+        if t_full is not None:
+            rec["family_cost"] = round(t_full - t, 3)
+        print(json.dumps(rec), flush=True)
+
+    if want("MINIMAL"):
+        minimal = FeatureConfig(
+            channels=channels,
+            max_cells=512,
+            measure_texture=False,
+            measure_zernike=False,
+            measure_moments=False,
+            measure_quantiles=False,
+            measure_edge=False,
+            measure_radial=False,
+            measure_neighbors=False,
+            measure_convex=False,
+            measure_radius=False,
+        )
+        t_min = timed(minimal)
         print(
             json.dumps(
                 {
-                    "config": name,
-                    "s_per_site": round(t, 3),
-                    "family_cost": round(t_full - t, 3),
+                    "config": "MINIMAL (objects+shape+intensity+corr+granularity)",
+                    "s_per_site": round(t_min, 3),
                 }
             ),
             flush=True,
         )
-
-    minimal = FeatureConfig(
-        channels=channels,
-        max_cells=512,
-        measure_texture=False,
-        measure_zernike=False,
-        measure_moments=False,
-        measure_quantiles=False,
-        measure_edge=False,
-        measure_radial=False,
-        measure_neighbors=False,
-        measure_convex=False,
-        measure_radius=False,
-    )
-    t_min = timed(minimal)
-    print(
-        json.dumps(
-            {
-                "config": "MINIMAL (objects+shape+intensity+corr+granularity)",
-                "s_per_site": round(t_min, 3),
-            }
-        ),
-        flush=True,
-    )
 
 
 if __name__ == "__main__":

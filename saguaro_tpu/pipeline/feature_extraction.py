@@ -113,10 +113,10 @@ def run_feature_extraction_job(
             labels_list: list = [None] * len(chunk)
             if seg_batch is not None:
                 try:
-                    labels_list = [
-                        np.asarray(l)
-                        for l in seg_batch(np.stack([im for _, im in chunk]))
-                    ]
+                    # keep device arrays device-resident: fetching a label
+                    # image costs ~0.15 s through the relay and measurement
+                    # consumes labels on device anyway
+                    labels_list = list(seg_batch(np.stack([im for _, im in chunk])))
                 except Exception as e:
                     logger.error(
                         "batched segmentation failed (%s); per-site fallback", e
@@ -140,9 +140,11 @@ def run_feature_extraction_job(
                 continue
             nums = [n for n, _, _ in ok]
             try:
+                import jax.numpy as jnp
+
                 batch_tables = measure_site_batch(
                     np.stack([im for _, im, _ in ok]),
-                    np.stack([lb for _, _, lb in ok]),
+                    jnp.stack([jnp.asarray(lb) for _, _, lb in ok]),
                     cfg,
                     image_numbers=nums,
                     metadata=[metas[n] for n in nums],

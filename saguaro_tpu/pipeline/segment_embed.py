@@ -291,6 +291,9 @@ class SegmentEmbedEngine:
         else:
             images = jnp.asarray(images)
         n_seg = min(3, images.shape[-1])
+        # flows/cellprob STAY on device — the mask-recovery program and the
+        # flow-error QC consume them in place; fetching them only to
+        # re-upload costs ~20 MB/batch through this environment's relay
         flows, cellprob = segment_image_batch(
             self.cell_model.apply,
             self.cell_vars,
@@ -300,7 +303,6 @@ class SegmentEmbedEngine:
             at_network_resolution=True,
             n_seg=n_seg,
         )
-        flows = np.asarray(flows)  # small: network resolution
         h1, w1 = flows.shape[2:]
         h0, w0 = images.shape[1:3]
         # min-size filtering happens at network resolution with an
@@ -310,7 +312,7 @@ class SegmentEmbedEngine:
         min_size_low = max(1, int(round(cfg.min_size * scale))) if cfg.min_size else 0
         labels_low = compute_masks_batch(
             flows,
-            np.asarray(cellprob),
+            cellprob,
             cellprob_threshold=cfg.cellprob_threshold,
             n_iters=cfg.flow_iters,
             min_size=min_size_low,
