@@ -11,13 +11,13 @@ not lane count, is the budget (BENCH.md r2 bisection).
 This module computes the same families with a fixed pass structure per
 object set:
 
-  A   one wide segment_matmul_sums: areas/centroids/boundary counts,
-      channel sums, intensity-weighted coordinates, edge sums
+  A   one wide in-chunk lane scan (_lane_scan): areas/centroids/boundary
+      counts, channel sums, intensity-weighted coordinates, edge sums
   B   one segment_min + one segment_max (multi-lane): bboxes, channel
       min/max, edge min/max
   C0  one segment_min: centroid-distance max (shared by Zernike +
       radial) and per-channel max-intensity pixel index
-  C2  one wide segment_matmul_sums: bbox-local + central moment power
+  C2  one wide in-chunk lane scan: bbox-local + central moment power
       products, Zernike re/im, centered intensity quadratics and
       channel cross-products, centered edge quadratics
   D   one keyed segment_sum: radial ring sums
@@ -35,12 +35,53 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
 from saguaro_tpu.kernels.zernike import ZERNIKE_INDEXES, _radial_coeffs
 
 __all__ = ["fused_object_features"]
 
 _ORDERS = [(p, q) for p in range(4) for q in range(4)]
+
+
+def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768):
+    """Chunked one-hot contraction with payload lanes built PER CHUNK.
+
+    ``base``: list of (N,) / (N, C) per-pixel arrays; ``lane_fn(seg_c,
+    *base_c) -> (chunk, n_lanes) f32``. The full (N, n_lanes) payload
+    never exists: each chunk's lanes are built in-register from the base
+    arrays and immediately contracted against the label one-hot — same
+    hi/lo bf16 split, chunking, and scan order as
+    ``onehot_reduce.segment_matmul_sums`` (bit-identical sums), at
+    1/(n_lanes/len(base)) of the HBM traffic and footprint. Under the
+    object-set vmap this is what keeps the batch-8 site program inside
+    HBM (the materialized 96-lane payload was 3x1.3 GB per site).
+    """
+    n = seg.shape[0]
+    n_pad = (-n) % chunk
+    seg_f = jnp.pad(seg, (0, n_pad))
+    base_f = [
+        jnp.pad(v, ((0, n_pad),) + ((0, 0),) * (v.ndim - 1)) for v in base
+    ]
+    n_chunks = (n + n_pad) // chunk
+
+    def body(s, idx):
+        sl = idx * chunk
+        seg_c = jax.lax.dynamic_slice_in_dim(seg_f, sl, chunk)
+        base_c = [jax.lax.dynamic_slice_in_dim(v, sl, chunk) for v in base_f]
+        payload = lane_fn(seg_c, *base_c).astype(jnp.float32)
+        hi = payload.astype(jnp.bfloat16)
+        lo = (payload - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        lab_oh = jax.nn.one_hot(seg_c, max_cells, dtype=jnp.bfloat16)
+        dot = lambda v: jax.lax.dot_general(
+            lab_oh,
+            v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return s + dot(hi) + dot(lo), None
+
+    s0 = jnp.zeros((max_cells, n_lanes), jnp.float32)
+    s, _ = jax.lax.scan(body, s0, jnp.arange(n_chunks))
+    return s
 
 
 @partial(
@@ -100,14 +141,23 @@ def fused_object_features(
     boundary = boundary_m.astype(jnp.float32)
 
     # ---------------- pass A: all linear sums ----------------
-    lanes_a = [inside, yf * inside, xf * inside, boundary]
-    lanes_a += [v, yf[:, None] * v, xf[:, None] * v]
-    if with_edge:
-        lanes_a.append(vr * boundary[:, None])
-    payload_a = jnp.concatenate(
-        [l if l.ndim == 2 else l[:, None] for l in lanes_a], axis=1
+    def _cat(cols):
+        return jnp.concatenate(
+            [c if c.ndim == 2 else c[:, None] for c in cols], axis=1
+        )
+
+    def lanes_a_fn(seg_c, in_c, y_c, x_c, b_c, vr_c):
+        v_c = vr_c * in_c[:, None]
+        cols = [in_c, y_c * in_c, x_c * in_c, b_c, v_c, y_c[:, None] * v_c,
+                x_c[:, None] * v_c]
+        if with_edge:
+            cols.append(vr_c * b_c[:, None])
+        return _cat(cols)
+
+    n_lanes_a = 4 + 3 * n_ch + (n_ch if with_edge else 0)
+    sums_a = _lane_scan(
+        seg, [inside, yf, xf, boundary, vr], lanes_a_fn, n_lanes_a, max_cells
     )
-    sums_a = segment_matmul_sums(seg, payload_a, max_cells)
     cnt, sy, sx, perim = (sums_a[:, i] for i in range(4))
     o = 4
     s = sums_a[:, o : o + n_ch]
@@ -122,6 +172,10 @@ def fused_object_features(
     zero = cnt <= 0
 
     # ---------------- pass B: multi-lane min / max ----------------
+    # NOTE: multi-lane (N, K_small) scatter operands tile exactly in THIS
+    # per-object-set structure; under an object-set vmap XLA re-lays them
+    # out with the K minor dim padded to 128 lanes (64x HBM blowup) —
+    # measured, which is why features.py loops object sets instead
     big = jnp.float32(3.4e38)
     min_lanes = [
         jnp.where(inside_m, yf, big)[:, None],
@@ -153,7 +207,13 @@ def fused_object_features(
     dy = yf - jnp.take(cy, seg)
     dx = xf - jnp.take(cx, seg)
     dist = jnp.sqrt(dy * dy + dx * dx)
-    at_max = inside_m[:, None] & (vr >= jnp.take(vmax, seg, axis=0))
+    # per-channel 1D gathers: a single (N, C) gather here got laid out
+    # T(8,128) with the C=2 minor dim padded to 128 — a 64x (13 GB)
+    # HBM expansion at site-batch 8 x 3 object sets
+    at_max = inside_m[:, None] & (
+        vr
+        >= jnp.stack([jnp.take(vmax[:, c], seg) for c in range(n_ch)], axis=1)
+    )
     idxf = jnp.arange(h * w, dtype=jnp.float32)
     c0_lanes = [
         # zernike/radial convention: rmax over inside pixels, fill -1
@@ -169,59 +229,74 @@ def fused_object_features(
     max_x = (pick_i % w).astype(jnp.float32)
 
     # ---------------- pass C2: centered power products ----------------
-    yc = dy * inside
-    xc = dx * inside
-    lanes_c: list = []
-    spec_c: list = []  # (name, n_lanes) bookkeeping for unpacking
-
-    def powers(base):
-        b2 = base * base
-        return [inside, base, b2, b2 * base]
-
-    ycp, xcp = powers(yc), powers(xc)
-    # shape's second central moments ride the central moment lanes
+    # (lanes built in-chunk by _lane_scan: the ~96-lane payload plus its
+    # zernike radial intermediates never materialize in HBM)
     central_orders = [pq for pq in _ORDERS if pq != (0, 0)]
-    lanes_c += [ycp[p] * xcp[q] for p, q in central_orders]
-    spec_c.append(("central", len(central_orders)))
+    bbox_orders = [pq for pq in _ORDERS if pq != (0, 0)]
+    spec_c: list = [("central", len(central_orders))]
     if with_moments:
-        ybl = (yf - jnp.take(jnp.where(zero, 0.0, ymin), seg)) * inside
-        xbl = (xf - jnp.take(jnp.where(zero, 0.0, xmin), seg)) * inside
-        ybp, xbp = powers(ybl), powers(xbl)
-        bbox_orders = [pq for pq in _ORDERS if pq != (0, 0)]
-        lanes_c += [ybp[p] * xbp[q] for p, q in bbox_orders]
         spec_c.append(("bbox", len(bbox_orders)))
     if with_zernike:
-        rho = jnp.minimum(dist / jnp.maximum(jnp.take(rmax, seg), 1e-6), 1.0)
-        theta = jnp.arctan2(dy, dx)
-        rpow = jnp.stack([rho**k for k in range(10)], axis=1)
-        coeffs = jnp.asarray(_radial_coeffs(), jnp.float32)
-        radials = jnp.dot(
-            rpow, coeffs.T,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (N, 30)
-        ms = jnp.asarray([m for _, m in ZERNIKE_INDEXES], jnp.float32)
-        mtheta = theta[:, None] * ms[None, :]
-        lanes_c.append(radials * jnp.cos(mtheta) * inside[:, None])
-        lanes_c.append(radials * jnp.sin(mtheta) * inside[:, None])
         spec_c.append(("zernike", 60))
-    vc = (vr - jnp.take(mean, seg, axis=0)) * inside[:, None]
-    lanes_c.append(vc * vc)
+        coeffs_t = jnp.asarray(_radial_coeffs(), jnp.float32).T  # (10, 30)
+        ms = jnp.asarray([m for _, m in ZERNIKE_INDEXES], jnp.float32)
     spec_c.append(("var", n_ch))
     pairs = [(a, b) for a in range(n_ch) for b in range(a + 1, n_ch)]
     if pairs:
-        lanes_c.append(jnp.stack([vc[:, a] * vc[:, b] for a, b in pairs], axis=1))
         spec_c.append(("cross", len(pairs)))
     if with_edge:
         edge_denom = jnp.maximum(perim, 1.0)
         edge_mean = edge_s / edge_denom[:, None]
-        ec = (vr - jnp.take(edge_mean, seg, axis=0)) * boundary[:, None]
-        lanes_c.append(ec * ec)
         spec_c.append(("edge_var", n_ch))
-    payload_c = jnp.concatenate(
-        [l if l.ndim == 2 else l[:, None] for l in lanes_c], axis=1
+    ymin_z = jnp.where(zero, 0.0, ymin)
+    xmin_z = jnp.where(zero, 0.0, xmin)
+
+    def lanes_c_fn(seg_c, in_c, y_c, x_c, b_c, vr_c):
+        dy_c = y_c - jnp.take(cy, seg_c)
+        dx_c = x_c - jnp.take(cx, seg_c)
+        yc = dy_c * in_c
+        xc = dx_c * in_c
+
+        def powers(base):
+            b2 = base * base
+            return [in_c, base, b2, b2 * base]
+
+        ycp, xcp = powers(yc), powers(xc)
+        # shape's second central moments ride the central moment lanes
+        cols = [ycp[p] * xcp[q] for p, q in central_orders]
+        if with_moments:
+            ybl = (y_c - jnp.take(ymin_z, seg_c)) * in_c
+            xbl = (x_c - jnp.take(xmin_z, seg_c)) * in_c
+            ybp, xbp = powers(ybl), powers(xbl)
+            cols += [ybp[p] * xbp[q] for p, q in bbox_orders]
+        if with_zernike:
+            dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
+            rho = jnp.minimum(
+                dist_c / jnp.maximum(jnp.take(rmax, seg_c), 1e-6), 1.0
+            )
+            theta = jnp.arctan2(dy_c, dx_c)
+            rpow = jnp.stack([rho**k for k in range(10)], axis=1)
+            radials = jnp.dot(
+                rpow, coeffs_t,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (chunk, 30)
+            mtheta = theta[:, None] * ms[None, :]
+            cols.append(radials * jnp.cos(mtheta) * in_c[:, None])
+            cols.append(radials * jnp.sin(mtheta) * in_c[:, None])
+        vc = (vr_c - jnp.take(mean, seg_c, axis=0)) * in_c[:, None]
+        cols.append(vc * vc)
+        if pairs:
+            cols.append(jnp.stack([vc[:, a] * vc[:, b] for a, b in pairs], axis=1))
+        if with_edge:
+            ec = (vr_c - jnp.take(edge_mean, seg_c, axis=0)) * b_c[:, None]
+            cols.append(ec * ec)
+        return _cat(cols)
+
+    n_lanes_c = sum(n for _, n in spec_c)
+    sums_c = _lane_scan(
+        seg, [inside, yf, xf, boundary, vr], lanes_c_fn, n_lanes_c, max_cells
     )
-    sums_c = segment_matmul_sums(seg, payload_c, max_cells)
     parts = {}
     off = 0
     for name, n in spec_c:

@@ -106,10 +106,19 @@ def object_glcm(
     n = lab.size
     n_pad = (-n) % chunk
     lab_f = jnp.pad(lab.reshape(-1), (0, n_pad))
-    # merge the 4 directions' codes/validity into (N, 4) arrays
-    codes_f = jnp.stack([jnp.pad(c.reshape(-1), (0, n_pad)) for c in codes], axis=1)
-    oks_f = jnp.stack(
-        [jnp.pad(o.reshape(-1), (0, n_pad), constant_values=False) for o in oks],
+    # merge the 4 directions' codes/validity into ONE (N, 4) int16 array:
+    # invalid pixels carry code -1 (one_hot of an out-of-range index is a
+    # zero row), so no separate validity array — the code stack is this
+    # kernel's HBM-resident intermediate and int16 halves it
+    codes_f = jnp.stack(
+        [
+            jnp.pad(
+                jnp.where(o, c % L2, -1).astype(jnp.int16).reshape(-1),
+                (0, n_pad),
+                constant_values=-1,
+            )
+            for c, o in zip(codes, oks)
+        ],
         axis=1,
     )
     n_chunks = (n + n_pad) // chunk
@@ -118,15 +127,13 @@ def object_glcm(
         g = carry
         sl = idx * chunk
         lab_c = jax.lax.dynamic_slice_in_dim(lab_f, sl, chunk)
-        code_c = jax.lax.dynamic_slice_in_dim(codes_f, sl, chunk)
-        ok_c = jax.lax.dynamic_slice_in_dim(oks_f, sl, chunk)
+        code_c = jax.lax.dynamic_slice_in_dim(codes_f, sl, chunk).astype(jnp.int32)
         lab_oh = jax.nn.one_hot(lab_c, max_cells, dtype=jnp.bfloat16)
         # per-direction band one-hots, concatenated: (chunk, 4*L2) without
         # materializing a (chunk, 4, 4*L2) intermediate
         pq_oh = jnp.concatenate(
             [
-                jax.nn.one_hot(code_c[:, d] % L2, L2, dtype=jnp.bfloat16)
-                * ok_c[:, d : d + 1].astype(jnp.bfloat16)
+                jax.nn.one_hot(code_c[:, d], L2, dtype=jnp.bfloat16)
                 for d in range(4)
             ],
             axis=1,

@@ -48,13 +48,22 @@ def onehot_counts(
     n_codes). Returns [(max_cells, n_codes_i), ...] counting valid pixels
     per (label, code). All histograms contract against one label one-hot
     per chunk.
+
+    Invalid pixels are encoded as code -1 (``one_hot`` of an
+    out-of-range index is a zero row) and codes are stored int16 —
+    the (N, n_codes) code stack is the formulation's HBM peak, and the
+    int32-codes + bool-valid layout OOM'd the batch-8 measurement
+    program (code sizes must fit int16; all callers bin to <= 32k).
     """
     sizes = tuple(n for _, _, n in codes)
-    code_arr = jnp.stack([c.astype(jnp.int32) for c, _, _ in codes], axis=1)
-    ok_arr = jnp.stack([v for _, v, _ in codes], axis=1)
-    g = _onehot_counts_impl(
-        labels.astype(jnp.int32), code_arr, ok_arr, max_cells, sizes, chunk
+    code_arr = jnp.stack(
+        [
+            jnp.where(v, c.astype(jnp.int32), -1).astype(jnp.int16)
+            for c, v, _ in codes
+        ],
+        axis=1,
     )
+    g = _onehot_counts_impl(labels.astype(jnp.int32), code_arr, max_cells, sizes, chunk)
     outs = []
     off = 0
     for n in sizes:
@@ -64,12 +73,11 @@ def onehot_counts(
 
 
 @partial(jax.jit, static_argnames=("max_cells", "sizes", "chunk"))
-def _onehot_counts_impl(labels, code_arr, ok_arr, max_cells, sizes, chunk):
+def _onehot_counts_impl(labels, code_arr, max_cells, sizes, chunk):
     n = labels.shape[0]
     n_pad = (-n) % chunk
     lab_f = jnp.pad(labels, (0, n_pad))
-    code_f = jnp.pad(code_arr, ((0, n_pad), (0, 0)))
-    ok_f = jnp.pad(ok_arr, ((0, n_pad), (0, 0)), constant_values=False)
+    code_f = jnp.pad(code_arr, ((0, n_pad), (0, 0)), constant_values=-1)
     n_chunks = (n + n_pad) // chunk
     total = sum(sizes)
 
@@ -78,14 +86,11 @@ def _onehot_counts_impl(labels, code_arr, ok_arr, max_cells, sizes, chunk):
         lab_oh = jax.nn.one_hot(
             jax.lax.dynamic_slice_in_dim(lab_f, sl, chunk), max_cells, dtype=jnp.bfloat16
         )
-        code_c = jax.lax.dynamic_slice_in_dim(code_f, sl, chunk)
-        ok_c = jax.lax.dynamic_slice_in_dim(ok_f, sl, chunk)
+        code_c = jax.lax.dynamic_slice_in_dim(code_f, sl, chunk).astype(jnp.int32)
         cols = []
         for k, nk in enumerate(sizes):
-            cols.append(
-                jax.nn.one_hot(code_c[:, k], nk, dtype=jnp.bfloat16)
-                * ok_c[:, k : k + 1].astype(jnp.bfloat16)
-            )
+            # invalid pixels carry code -1 -> all-zero one-hot row
+            cols.append(jax.nn.one_hot(code_c[:, k], nk, dtype=jnp.bfloat16))
         code_oh = jnp.concatenate(cols, axis=1)
         g = g + jax.lax.dot_general(
             lab_oh,

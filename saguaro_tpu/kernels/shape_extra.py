@@ -109,9 +109,10 @@ def radius_features(
     }
 
 
-@partial(jax.jit, static_argnames=("max_cells", "n_dirs"))
+@partial(jax.jit, static_argnames=("max_cells", "n_dirs", "max_boundary"))
 def convex_features(
-    labels: jax.Array, max_cells: int = 1024, n_dirs: int = 72
+    labels: jax.Array, max_cells: int = 1024, n_dirs: int = 72,
+    max_boundary: int | None = None,
 ):
     """CP AreaShape Solidity / MaxFeretDiameter / MinFeretDiameter.
 
@@ -120,6 +121,14 @@ def convex_features(
     the hull area (Solidity = Area / hull area). Feret extents pair
     opposite directions. Pixel-center convention with a +1 px hull
     dilation correction so single rows/columns have nonzero hull area.
+
+    A linear functional attains its max at an extreme point of the pixel
+    set, which is always a boundary pixel — so the direction sweep runs
+    over COMPACTED boundary pixels (static bound ``max_boundary``,
+    default pixels/8: the full-grid (N_pixels, n_dirs) support array was
+    13 GB at site-batch 8 x 3 object sets). Objects whose boundary
+    raster-overflows the bound lose their tail pixels (documented
+    degradation; smooth cell boundaries occupy ~2% of the grid).
     """
     h, w = labels.shape
     lab = labels.astype(jnp.int32)
@@ -128,34 +137,56 @@ def convex_features(
     inside = (flat > 0).astype(jnp.float32)
     big = jnp.float32(3.4e38)
 
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
-    )
-    y = yy.reshape(-1)
-    x = xx.reshape(-1)
-    idx = jnp.arange(h * w, dtype=jnp.float32)
-
     area = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
 
-    # ALL directions as one (N, n_dirs) payload: TPU scatters serialize
-    # per pass, so one 72-lane segment_max beats 72 scalar ones ~n_dirs x
+    # boundary pixels of each object (4-neighborhood label change)
+    pad = jnp.pad(lab, 1, constant_values=0)
+    boundary = (
+        (pad[:-2, 1:-1] != lab)
+        | (pad[2:, 1:-1] != lab)
+        | (pad[1:-1, :-2] != lab)
+        | (pad[1:-1, 2:] != lab)
+    ) & (lab > 0)
+    k_bound = max_boundary or max(h * w // 8, 4096)
+    (bi,) = jnp.nonzero(boundary.reshape(-1), size=k_bound, fill_value=0)
+    yb = (bi // w).astype(jnp.float32)
+    xb = (bi % w).astype(jnp.float32)
+    segb = jnp.take(seg, bi)
+    # fill entries repeat index 0; mask them unless pixel 0 is real
+    validb = jnp.take(boundary.reshape(-1), bi)
+    segb = jnp.where(validb, segb, 0)
+
     thetas = np.linspace(0.0, 2.0 * np.pi, n_dirs, endpoint=False)
-    cos = jnp.asarray(np.cos(thetas), jnp.float32)
-    sin = jnp.asarray(np.sin(thetas), jnp.float32)
-    s_all = y[:, None] * cos[None, :] + x[:, None] * sin[None, :]  # (N, D)
-    s_masked = jnp.where((flat > 0)[:, None], s_all, -big)
-    sup = jax.ops.segment_max(s_masked, seg, num_segments=max_cells)  # (C, D)
-    # the extreme pixel per (object, direction): smallest linear index
-    # attaining the directional max
-    at_max = s_masked >= jnp.take(sup, seg, axis=0) - 1e-3
-    pick = jax.ops.segment_min(
-        jnp.where(at_max & (flat > 0)[:, None], idx[:, None], big),
-        seg,
-        num_segments=max_cells,
-    )
+    d_chunk = min(24, n_dirs)
+    while n_dirs % d_chunk:
+        d_chunk -= 1
+    cos_ch = jnp.asarray(np.cos(thetas), jnp.float32).reshape(-1, d_chunk)
+    sin_ch = jnp.asarray(np.sin(thetas), jnp.float32).reshape(-1, d_chunk)
+    seg_mask = (segb > 0)[:, None]
+    bif = bi.astype(jnp.float32)
+
+    def one_chunk(_, cs):
+        cos_c, sin_c = cs
+        s_all = yb[:, None] * cos_c[None, :] + xb[:, None] * sin_c[None, :]
+        s_masked = jnp.where(seg_mask, s_all, -big)
+        sup_c = jax.ops.segment_max(s_masked, segb, num_segments=max_cells)
+        # the extreme pixel per (object, direction): smallest linear
+        # index attaining the directional max
+        at_max = s_masked >= jnp.take(sup_c, segb, axis=0) - 1e-3
+        pick_c = jax.ops.segment_min(
+            jnp.where(at_max & seg_mask, bif[:, None], big),
+            segb,
+            num_segments=max_cells,
+        )
+        return None, (sup_c, pick_c)
+
+    _, (sup, pick) = jax.lax.scan(one_chunk, None, (cos_ch, sin_ch))
+    # (n_chunks, C, D') -> (C, D) in direction order
+    sup = jnp.moveaxis(sup, 0, 1).reshape(max_cells, n_dirs)
+    pick = jnp.moveaxis(pick, 0, 1).reshape(max_cells, n_dirs)
     pick_i = jnp.clip(pick, 0, h * w - 1).astype(jnp.int32)  # (C, D)
-    py = jnp.take(y, pick_i)
-    px = jnp.take(x, pick_i)
+    py = (pick_i // w).astype(jnp.float32)
+    px = (pick_i % w).astype(jnp.float32)
 
     # shoelace + perimeter over the angularly ordered extreme points
     py2 = jnp.roll(py, -1, axis=1)

@@ -36,7 +36,7 @@ from saguaro_tpu.kernels.glcm import (
 )
 from saguaro_tpu.kernels.objects_extra import (
     neighbor_features,
-    quantile_intensity_features,
+    quantile_intensity_features_mc,
 )
 from saguaro_tpu.kernels.morphology import (
     expand_labels,
@@ -190,6 +190,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                         ] = har[k][d]
         inten_mc, corr_mc = fused["intensity"], fused["corr"]
         cnt_f, vmin_f, vmax_f = fused["stats"]
+        if cfg.measure_quantiles:
+            # all channels' one-hot histogram passes share one label
+            # one-hot per chunk (objects_extra.quantile_intensity_features_mc)
+            quant_mc = quantile_intensity_features_mc(
+                image, labels, cfg.max_cells, stats=(cnt_f, vmin_f, vmax_f)
+            )
         for c in range(n_ch):
             ch_name = cfg.channels[c]
             for k, v in inten_mc.items():
@@ -199,14 +205,8 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 else:
                     feats[f"Intensity_{k}_{ch_name}"] = v[:, c]
             if cfg.measure_quantiles:
-                quant = quantile_intensity_features(
-                    image[..., c],
-                    labels,
-                    cfg.max_cells,
-                    stats=(cnt_f, vmin_f[:, c], vmax_f[:, c]),
-                )
-                for k, v in quant.items():
-                    feats[f"Intensity_{k}_{ch_name}"] = v
+                for k, v in quant_mc.items():
+                    feats[f"Intensity_{k}_{ch_name}"] = v[:, c]
         if cfg.measure_edge:
             for c in range(n_ch):
                 for k, v in fused["edge"].items():
