@@ -75,6 +75,12 @@ class SegmentEmbedConfig:
     box_size: int = 200                # crop box (:30)
     max_cells: int = 512               # static per-site cell bound
     embed_chunk: int = 64              # crops per embedding device program
+                                       # (64 beats 128/256 in production: smaller
+                                       # chunks overlap per-chunk fetches with the
+                                       # next chunk's compute through the relay;
+                                       # the sync-fetch sweep favoring 128 was
+                                       # misleading — bench.py embed s/site is
+                                       # the deciding measurement)
     embed_size: int = 480              # model input resolution
     cellprob_threshold: float = 0.0
     flow_iters: int = 200
@@ -437,6 +443,9 @@ class SegmentEmbedEngine:
             if self.mesh is not None:
                 chunk = jax.device_put(chunk, sharding)
             chunks.append(self._embed(chunk))
+        # per-chunk fetches OVERLAP with the next chunk's compute through
+        # the relay (dispatch is async); a single packed fetch at the end
+        # serializes the 20 MB transfer and measured 20% slower
         feats = np.concatenate([np.asarray(c) for c in chunks])[:n_flat]
         feats = feats.reshape(idx.size, n_ch, FEATURE_LENGTH)
 
@@ -484,6 +493,7 @@ class SegmentEmbedEngine:
             self._embed(jax.lax.slice_in_dim(flat, s, s + ck, axis=0))
             for s in range(0, n_flat + n_pad, ck)
         ]
+        # per-chunk fetches overlap with compute (see embed_sites_pooled)
         feats = np.concatenate([np.asarray(c) for c in chunks])[:n_flat]
         return feats.reshape(idx.size, n_ch, FEATURE_LENGTH), coords_np
 
