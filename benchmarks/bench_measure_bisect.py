@@ -23,7 +23,9 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-SIZE, N_CH, B = 1080, 2, 8
+import os
+SIZE, N_CH = 1080, 2
+B = int(os.environ.get("BISECT_BATCH", "8"))
 
 
 def main():

@@ -112,7 +112,7 @@ def _resize_pallas(img, y0s, x0s, ry_blocks, rxt_blocks, out_shape, kh, kw, inte
         in_specs=[
             pl.BlockSpec((1, _TILE, kh), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kw, _TILE), lambda i, j, *_: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (_TILE, _TILE), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM

@@ -103,7 +103,9 @@ def compensate_missing_sites(df: pd.DataFrame) -> pd.DataFrame:
 def aggregate_wells(
     df: pd.DataFrame, agg_func: str = "mean", by: list[str] = ("Metadata_Well",)
 ) -> pd.DataFrame:
-    return df.groupby(list(by), as_index=False).agg(agg_func)
+    # .copy() defragments frames built by repeated column inserts upstream
+    # (silences pandas' PerformanceWarning; well-level tables are small)
+    return df.copy().groupby(list(by), as_index=False).agg(agg_func)
 
 
 def merge_tables(tables: dict[str, pd.DataFrame], on="Metadata_Well") -> pd.DataFrame:
