@@ -42,18 +42,25 @@ __all__ = ["fused_object_features"]
 _ORDERS = [(p, q) for p in range(4) for q in range(4)]
 
 
-def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768):
+def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None):
     """Chunked one-hot contraction with payload lanes built PER CHUNK.
 
     ``base``: list of (N,) / (N, C) per-pixel arrays; ``lane_fn(seg_c,
-    *base_c) -> (chunk, n_lanes) f32``. The full (N, n_lanes) payload
-    never exists: each chunk's lanes are built in-register from the base
-    arrays and immediately contracted against the label one-hot — same
-    hi/lo bf16 split, chunking, and scan order as
+    [gathered,] *base_c) -> (chunk, n_lanes) f32``. The full (N, n_lanes)
+    payload never exists: each chunk's lanes are built in-register from
+    the base arrays and immediately contracted against the label one-hot
+    — same hi/lo bf16 split, chunking, and scan order as
     ``onehot_reduce.segment_matmul_sums`` (bit-identical sums), at
     1/(n_lanes/len(base)) of the HBM traffic and footprint. Under the
     object-set vmap this is what keeps the batch-8 site program inside
     HBM (the materialized 96-lane payload was 3x1.3 GB per site).
+
+    ``tables``: optional (max_cells, K) f32 of per-label values the lanes
+    need (centroids, means, bboxes...). The body gathers them with the
+    SAME label one-hot it builds for the contraction (3-term bf16 split,
+    ~1 ulp of jnp.take) and passes the (chunk, K) block to lane_fn as its
+    second argument — per-chunk XLA gathers run at ~1.7 GB/s on TPU
+    (profiled 1.1 s/batch across the C2 scans); the matmul reuse is free.
     """
     n = seg.shape[0]
     n_pad = (-n) % chunk
@@ -62,15 +69,29 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768):
         jnp.pad(v, ((0, n_pad),) + ((0, 0),) * (v.ndim - 1)) for v in base
     ]
     n_chunks = (n + n_pad) // chunk
+    if tables is not None:
+        from saguaro_tpu.kernels.onehot_reduce import _bf16_split3
+
+        t_hi, t_mid, t_lo = _bf16_split3(tables)
 
     def body(s, idx):
         sl = idx * chunk
         seg_c = jax.lax.dynamic_slice_in_dim(seg_f, sl, chunk)
         base_c = [jax.lax.dynamic_slice_in_dim(v, sl, chunk) for v in base_f]
-        payload = lane_fn(seg_c, *base_c).astype(jnp.float32)
+        lab_oh = jax.nn.one_hot(seg_c, max_cells, dtype=jnp.bfloat16)
+        if tables is not None:
+            take = lambda t: jax.lax.dot_general(
+                lab_oh,
+                t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gathered = take(t_hi) + take(t_mid) + take(t_lo)
+            payload = lane_fn(seg_c, gathered, *base_c).astype(jnp.float32)
+        else:
+            payload = lane_fn(seg_c, *base_c).astype(jnp.float32)
         hi = payload.astype(jnp.bfloat16)
         lo = (payload - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        lab_oh = jax.nn.one_hot(seg_c, max_cells, dtype=jnp.bfloat16)
         dot = lambda v: jax.lax.dot_general(
             lab_oh,
             v,
@@ -204,16 +225,19 @@ def fused_object_features(
     edge_vmax = maxs[:, 2 + n_ch :] if with_edge else None
 
     # ---------------- pass C0: distance max + argmax picks ----------------
-    dy = yf - jnp.take(cy, seg)
-    dx = xf - jnp.take(cx, seg)
-    dist = jnp.sqrt(dy * dy + dx * dx)
-    # per-channel 1D gathers: a single (N, C) gather here got laid out
-    # T(8,128) with the C=2 minor dim padded to 128 — a 64x (13 GB)
-    # HBM expansion at site-batch 8 x 3 object sets
-    at_max = inside_m[:, None] & (
-        vr
-        >= jnp.stack([jnp.take(vmax[:, c], seg) for c in range(n_ch)], axis=1)
+    # centroid + vmax lookups as ONE mxu_take matmul scan: full-size XLA
+    # gathers run at ~1.7 GB/s on TPU (profiled ~85 ms each; this path
+    # held ~1.3 s/batch of them), and a single (N, C) gather also got a
+    # T(8,128) layout with the C minor dim padded to 128 (64x HBM blowup)
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    g0 = mxu_take(
+        jnp.concatenate([cy[:, None], cx[:, None], vmax], axis=1), seg, max_cells
     )
+    dy = yf - g0[:, 0]
+    dx = xf - g0[:, 1]
+    dist = jnp.sqrt(dy * dy + dx * dx)
+    at_max = inside_m[:, None] & (vr >= g0[:, 2:])
     idxf = jnp.arange(h * w, dtype=jnp.float32)
     c0_lanes = [
         # zernike/radial convention: rmax over inside pixels, fill -1
@@ -251,9 +275,25 @@ def fused_object_features(
     ymin_z = jnp.where(zero, 0.0, ymin)
     xmin_z = jnp.where(zero, 0.0, xmin)
 
-    def lanes_c_fn(seg_c, in_c, y_c, x_c, b_c, vr_c):
-        dy_c = y_c - jnp.take(cy, seg_c)
-        dx_c = x_c - jnp.take(cx, seg_c)
+    # per-label tables the C2 lanes need, gathered inside the scan by
+    # reusing its label one-hot (see _lane_scan ``tables``); column map:
+    t_cols = [cy[:, None], cx[:, None]]
+    o_bbox = 2
+    if with_moments:
+        t_cols += [ymin_z[:, None], xmin_z[:, None]]
+    o_rmax = 2 + (2 if with_moments else 0)
+    if with_zernike:
+        t_cols.append(rmax[:, None])
+    o_mean = o_rmax + (1 if with_zernike else 0)
+    t_cols.append(mean)
+    o_emean = o_mean + n_ch
+    if with_edge:
+        t_cols.append(edge_mean)
+    tables_c = jnp.concatenate(t_cols, axis=1)
+
+    def lanes_c_fn(seg_c, g, in_c, y_c, x_c, b_c, vr_c):
+        dy_c = y_c - g[:, 0]
+        dx_c = x_c - g[:, 1]
         yc = dy_c * in_c
         xc = dx_c * in_c
 
@@ -265,15 +305,13 @@ def fused_object_features(
         # shape's second central moments ride the central moment lanes
         cols = [ycp[p] * xcp[q] for p, q in central_orders]
         if with_moments:
-            ybl = (y_c - jnp.take(ymin_z, seg_c)) * in_c
-            xbl = (x_c - jnp.take(xmin_z, seg_c)) * in_c
+            ybl = (y_c - g[:, o_bbox]) * in_c
+            xbl = (x_c - g[:, o_bbox + 1]) * in_c
             ybp, xbp = powers(ybl), powers(xbl)
             cols += [ybp[p] * xbp[q] for p, q in bbox_orders]
         if with_zernike:
             dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
-            rho = jnp.minimum(
-                dist_c / jnp.maximum(jnp.take(rmax, seg_c), 1e-6), 1.0
-            )
+            rho = jnp.minimum(dist_c / jnp.maximum(g[:, o_rmax], 1e-6), 1.0)
             theta = jnp.arctan2(dy_c, dx_c)
             rpow = jnp.stack([rho**k for k in range(10)], axis=1)
             radials = jnp.dot(
@@ -284,18 +322,19 @@ def fused_object_features(
             mtheta = theta[:, None] * ms[None, :]
             cols.append(radials * jnp.cos(mtheta) * in_c[:, None])
             cols.append(radials * jnp.sin(mtheta) * in_c[:, None])
-        vc = (vr_c - jnp.take(mean, seg_c, axis=0)) * in_c[:, None]
+        vc = (vr_c - g[:, o_mean : o_mean + n_ch]) * in_c[:, None]
         cols.append(vc * vc)
         if pairs:
             cols.append(jnp.stack([vc[:, a] * vc[:, b] for a, b in pairs], axis=1))
         if with_edge:
-            ec = (vr_c - jnp.take(edge_mean, seg_c, axis=0)) * b_c[:, None]
+            ec = (vr_c - g[:, o_emean : o_emean + n_ch]) * b_c[:, None]
             cols.append(ec * ec)
         return _cat(cols)
 
     n_lanes_c = sum(n for _, n in spec_c)
     sums_c = _lane_scan(
-        seg, [inside, yf, xf, boundary, vr], lanes_c_fn, n_lanes_c, max_cells
+        seg, [inside, yf, xf, boundary, vr], lanes_c_fn, n_lanes_c, max_cells,
+        tables=tables_c,
     )
     parts = {}
     off = 0
@@ -306,7 +345,7 @@ def fused_object_features(
     # ---------------- pass D: radial ring sums (keyed) ----------------
     radial_out = None
     if with_radial:
-        dnorm = dist / jnp.maximum(jnp.take(rmax, seg), 1e-6)
+        dnorm = dist / jnp.maximum(mxu_take(rmax, seg, max_cells), 1e-6)
         ring = jnp.clip((dnorm * n_rings).astype(jnp.int32), 0, n_rings - 1)
         keys = seg * n_rings + ring
         payload_d = jnp.concatenate([inside[:, None], v], axis=1)

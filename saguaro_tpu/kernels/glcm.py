@@ -44,18 +44,28 @@ HARALICK_NAMES = (
 _DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
 
 
-def _quantize(image, labels, max_cells, levels):
+def _quantize(image, labels, max_cells, levels, stats=None):
     lab32 = labels.astype(jnp.int32)
     # overflow ids map to background (bin 0, ignored downstream)
     lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
     inside = labels > 0
-    cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    if stats is None:
+        cnt, s, ss, vmin, vmax = segment_stats(image, labels, max_cells)
+    else:
+        # precomputed (vmin, vmax) — e.g. from kernels/fused_measure —
+        # skip this kernel's own segment_stats passes over the pixels
+        vmin, vmax = stats
     vrange = jnp.maximum(vmax - vmin, 1e-12)
     img = image.astype(jnp.float32)
-    pmin = jnp.take(vmin, lab)
-    prange = jnp.take(vrange, lab)
+    # per-pixel range lookups as one matmul-take scan (full-size XLA
+    # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    g = mxu_take(
+        jnp.stack([vmin, vrange], axis=1), lab.reshape(-1), max_cells
+    ).reshape(*lab.shape, 2)
     q = jnp.clip(
-        jnp.floor((img - pmin) / prange * levels), 0, levels - 1
+        jnp.floor((img - g[..., 0]) / g[..., 1] * levels), 0, levels - 1
     ).astype(jnp.int32)
     return lab, inside, q
 
@@ -89,6 +99,7 @@ def object_glcm(
     levels: int = 16,
     distance: int = 3,
     chunk: int = 32768,
+    stats=None,
 ) -> jax.Array:
     """(H, W) image + labels -> (4, max_cells, levels, levels) normalized
     symmetric GLCMs (one per direction).
@@ -100,7 +111,7 @@ def object_glcm(
     the XLA scatter formulation on TPU (scatters serialize).
     """
     L2 = levels * levels
-    lab, inside, q = _quantize(image, labels, max_cells, levels)
+    lab, inside, q = _quantize(image, labels, max_cells, levels, stats)
     codes, oks = _direction_codes(lab, inside, q, levels, distance)
 
     n = lab.size

@@ -97,8 +97,13 @@ def quantile_intensity_features_mc(
     else:
         cnt, vmin, vmax = stats
     vrange = jnp.maximum(vmax - vmin, 1e-12)          # (max_cells, C)
-    pmin = jnp.take(vmin, seg, axis=0)                # (N, C)
-    prange = jnp.take(vrange, seg, axis=0)
+    # per-pixel range lookups as one matmul-take scan (full-size XLA
+    # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    gq = mxu_take(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
+    pmin = gq[:, :n_ch]                               # (N, C)
+    prange = gq[:, n_ch:]
     bins = jnp.clip(((v - pmin) / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
     hists = onehot_counts(
         seg, [(bins[:, c], inside, _NBINS) for c in range(n_ch)], max_cells
@@ -119,7 +124,7 @@ def quantile_intensity_features_mc(
     hi = q(0.75)
 
     # MAD: histogram of |v - median(object)| over [0, range]
-    pmed = jnp.take(med, seg, axis=0)
+    pmed = mxu_take(med, seg, max_cells)
     dev = jnp.abs(v - pmed)
     dbins = jnp.clip((dev / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
     dhists = onehot_counts(
@@ -258,12 +263,17 @@ def neighbor_features(labels: jax.Array, max_cells: int = 1024, distance: int = 
     ) & (lab > 0)
     flat = lab.reshape(-1)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
-    b_cnt = jax.ops.segment_sum(
-        boundary.reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
+    # boundary / touching counts as 2 one-hot count columns (scalar
+    # segment_sum scatters cost ~82 ms each on TPU, profiled)
+    b_cnt, t_cnt = onehot_counts(
+        seg,
+        [
+            (jnp.zeros_like(seg), boundary.reshape(-1), 1),
+            (jnp.zeros_like(seg), (boundary & touching).reshape(-1), 1),
+        ],
+        max_cells,
     )
-    t_cnt = jax.ops.segment_sum(
-        (boundary & touching).reshape(-1).astype(jnp.float32), seg, num_segments=max_cells
-    )
+    b_cnt, t_cnt = b_cnt[:, 0], t_cnt[:, 0]
     pct = 100.0 * t_cnt / jnp.maximum(b_cnt, 1.0)
     return {
         "NumberOfNeighbors": n_neighbors,

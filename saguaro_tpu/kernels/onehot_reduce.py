@@ -33,7 +33,69 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["onehot_counts", "segment_matmul_sums"]
+__all__ = ["onehot_counts", "segment_matmul_sums", "mxu_take"]
+
+
+def _bf16_split3(table: jax.Array):
+    """v = hi + mid + lo with all three bf16 — covers ~24 mantissa bits,
+    so hi+mid+lo reconstructs the f32 value to the last ulp or two.
+
+    Non-finite entries AND magnitudes above the bf16 max (~3.39e38 —
+    the 3.4e38 empty-label sentinel of segment min/max overflows the hi
+    term to inf, making the residual NaN) are replaced by 0: in a
+    one-hot matmul-gather EVERY row participates with weight 0 or 1, and
+    0 * inf/NaN poisons all pixels — unlike jnp.take, which only touches
+    indexed rows. Rows of absent labels are masked downstream anyway."""
+    t = table.astype(jnp.float32)
+    t = jnp.where(jnp.isfinite(t) & (jnp.abs(t) < 3.38e38), t, 0.0)
+    hi = t.astype(jnp.bfloat16)
+    r1 = t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+@partial(jax.jit, static_argnames=("max_cells", "chunk"))
+def mxu_take(
+    table: jax.Array,
+    seg: jax.Array,
+    max_cells: int,
+    chunk: int = 32768,
+) -> jax.Array:
+    """Row-gather of a small per-label table as one-hot MXU matmuls.
+
+    table: (max_cells, K) f32; seg: (N,) int32 in [0, max_cells).
+    Returns (N, K) f32 — the same values as ``jnp.take(table, seg,
+    axis=0)`` up to ~1 f32 ulp (3-term bf16 split).
+
+    A native XLA gather of N keys from a (cells, K) table runs at
+    ~1.7 GB/s effective on TPU (profiled: ~85 ms per 9.3M keys); the
+    chunked one-hot contraction does the same lookup on the MXU in
+    ~13 ms, and K columns ride one scan.
+    """
+    if table.ndim == 1:
+        return mxu_take(table[:, None], seg, max_cells, chunk)[:, 0]
+    n = seg.shape[0]
+    n_pad = (-n) % chunk
+    seg_f = jnp.pad(seg.astype(jnp.int32), (0, n_pad))
+    n_chunks = (n + n_pad) // chunk
+    hi, mid, lo = _bf16_split3(table)
+
+    def body(_, idx):
+        sl = idx * chunk
+        lab_oh = jax.nn.one_hot(
+            jax.lax.dynamic_slice_in_dim(seg_f, sl, chunk), max_cells, dtype=jnp.bfloat16
+        )
+        dot = lambda t: jax.lax.dot_general(
+            lab_oh,
+            t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, dot(hi) + dot(mid) + dot(lo)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return ys.reshape(n + n_pad, table.shape[1])[:n]
 
 
 def onehot_counts(

@@ -245,11 +245,13 @@ def euler_numbers(labels: jax.Array, max_cells: int = 1024) -> jax.Array:
     touching or diagonally adjacent objects that share a quad are each
     counted correctly — a single max-owner attribution would miscount the
     lower-id object's Q1/Q3 whenever two objects share a quad."""
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
     lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
     corners = (lab[:-1, :-1], lab[:-1, 1:], lab[1:, :-1], lab[1:, 1:])
     a, b, c, d = corners
 
-    total = jnp.zeros((max_cells,), jnp.float32)
+    segs, contribs = [], []
     for r, target in enumerate(corners):
         # only where this corner is the first corner of its own label in
         # the quad — one evaluation per (quad, distinct label) pair
@@ -271,10 +273,15 @@ def euler_numbers(labels: jax.Array, max_cells: int = 1024) -> jax.Array:
             - q3.astype(jnp.float32)
             - 2.0 * qd.astype(jnp.float32)
         )
-        seg = jnp.where(first & (target < max_cells), target, 0).reshape(-1)
-        total = total + jax.ops.segment_sum(
-            contrib.reshape(-1), seg, num_segments=max_cells
-        )
+        segs.append(jnp.where(first & (target < max_cells), target, 0).reshape(-1))
+        contribs.append(contrib.reshape(-1))
+    # the 4 corner passes as ONE chunked one-hot matmul scan over the
+    # concatenated streams: each full-size scalar segment_sum scatter
+    # costs ~82 ms on TPU (profiled), the 4N-element matmul scan ~50 ms
+    # total. Contributions are in {1,-1,-2} — bf16-exact sums.
+    total = segment_matmul_sums(
+        jnp.concatenate(segs), jnp.concatenate(contribs)[:, None], max_cells
+    )[:, 0]
     return total.at[0].set(0.0) / 4.0
 
 

@@ -75,27 +75,31 @@ def radius_features(
     ``max_radius`` bounds the relaxation depth (px); radii saturate there.
     Median uses 0.5 px histogram bins (value = bin center).
     """
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts, segment_matmul_sums
+
     lab = labels.astype(jnp.int32)
     dist = _chamfer_distance(lab, max_radius)
     flat = lab.reshape(-1)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
-    inside = (flat > 0).astype(jnp.float32)
+    inside_m = flat > 0
+    inside = inside_m.astype(jnp.float32)
     d = dist.reshape(-1)
 
-    cnt = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
-    mean = jax.ops.segment_sum(d * inside, seg, num_segments=max_cells) / jnp.maximum(
-        cnt, 1.0
+    # count + distance sum as one 2-lane matmul scan, the radius
+    # histogram as a one-hot count — full-size scalar/keyed scatters
+    # cost ~82 ms each on TPU (profiled)
+    sums = segment_matmul_sums(
+        seg, jnp.stack([inside, d * inside], axis=1), max_cells
     )
+    cnt = sums[:, 0]
+    mean = sums[:, 1] / jnp.maximum(cnt, 1.0)
     dmax = jax.ops.segment_max(
-        jnp.where(flat > 0, d, -1.0), seg, num_segments=max_cells
+        jnp.where(inside_m, d, -1.0), seg, num_segments=max_cells
     )
 
     nbins = 2 * max_radius
     b = jnp.clip((d * 2.0).astype(jnp.int32), 0, nbins - 1)
-    keys = seg * nbins + b
-    hist = jax.ops.segment_sum(
-        inside, keys, num_segments=max_cells * nbins
-    ).reshape(max_cells, nbins)
+    (hist,) = onehot_counts(seg, [(b, inside_m, nbins)], max_cells)
     cum = jnp.cumsum(hist, axis=1)
     half = cnt / 2.0
     median_bin = jnp.argmax(cum >= half[:, None], axis=1)
