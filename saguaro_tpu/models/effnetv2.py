@@ -118,7 +118,11 @@ class _ConvBNAct(nn.Module):
             dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(x)
-        return nn.silu(x) if self.act else x
+        # BN statistics/affine in f32, activations back to compute dtype:
+        # leaving them f32 doubles inter-layer HBM traffic (profiled: the
+        # 240x240 stem-area conv fusions ran at 15-27 TFLOP/s vs 150+ for
+        # the bf16 mid-network)
+        return (nn.silu(x) if self.act else x).astype(self.dtype)
 
 
 class _SE(nn.Module):
@@ -176,7 +180,7 @@ class _MBConv(nn.Module):
             dtype=self.dtype,
         )(h)
         h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(h)
-        h = nn.silu(h)
+        h = nn.silu(h).astype(self.dtype)
         if self.spec.se_ratio > 0:
             h = _SE(mid, max(1, int(inp * self.spec.se_ratio)), self.dtype)(h)
         h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype)(h)
