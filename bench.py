@@ -110,8 +110,20 @@ def main() -> None:
 
     fcfg = FeatureConfig(channels=tuple(cfg.channels))
 
+    # production pipelining (pipeline/feature_extraction.py): batch i+1 is
+    # dispatched before batch i's ~30 MB packed result fetch, so the
+    # relay transfer rides concurrently with device compute
+    from saguaro_tpu.pipeline.features import (
+        measure_site_batch_dispatch,
+        measure_site_batch_finalize,
+    )
+    measure_pending: list = []
+
     def run_measure():
-        measure_site_batch(images_dev, labels_dev, fcfg)
+        h = measure_site_batch_dispatch(images_dev, labels_dev, fcfg)
+        if measure_pending:
+            measure_site_batch_finalize(measure_pending.pop())
+        measure_pending.append(h)
 
     ship_s = timed(run_ship, iters=3) / b
     seg_s = timed(run_segment) / b

@@ -148,7 +148,6 @@ def fused_object_features(
     )
     yf, xf = yy.reshape(-1), xx.reshape(-1)
     vr = image.reshape(-1, n_ch).astype(jnp.float32)
-    v = vr * inside[:, None]
 
     lab = labels.astype(jnp.int32)
     pad = jnp.pad(lab, 1, constant_values=0)
@@ -272,6 +271,12 @@ def fused_object_features(
         edge_denom = jnp.maximum(perim, 1.0)
         edge_mean = edge_s / edge_denom[:, None]
         spec_c.append(("edge_var", n_ch))
+    if with_radial:
+        # radial ring sums ride the C2 scan as ring-masked lanes: ring
+        # membership is computable in-chunk from dist and the gathered
+        # rmax column, so the former keyed pass D (a ~70 ms/object-set
+        # scatter plus its own rmax take-scan) disappears entirely
+        spec_c.append(("radial", n_rings * (1 + n_ch)))
     ymin_z = jnp.where(zero, 0.0, ymin)
     xmin_z = jnp.where(zero, 0.0, xmin)
 
@@ -282,9 +287,10 @@ def fused_object_features(
     if with_moments:
         t_cols += [ymin_z[:, None], xmin_z[:, None]]
     o_rmax = 2 + (2 if with_moments else 0)
-    if with_zernike:
+    need_rmax = with_zernike or with_radial
+    if need_rmax:
         t_cols.append(rmax[:, None])
-    o_mean = o_rmax + (1 if with_zernike else 0)
+    o_mean = o_rmax + (1 if need_rmax else 0)
     t_cols.append(mean)
     o_emean = o_mean + n_ch
     if with_edge:
@@ -309,9 +315,11 @@ def fused_object_features(
             xbl = (x_c - g[:, o_bbox + 1]) * in_c
             ybp, xbp = powers(ybl), powers(xbl)
             cols += [ybp[p] * xbp[q] for p, q in bbox_orders]
-        if with_zernike:
+        if need_rmax:
             dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
-            rho = jnp.minimum(dist_c / jnp.maximum(g[:, o_rmax], 1e-6), 1.0)
+            inv_rmax = 1.0 / jnp.maximum(g[:, o_rmax], 1e-6)
+        if with_zernike:
+            rho = jnp.minimum(dist_c * inv_rmax, 1.0)
             theta = jnp.arctan2(dy_c, dx_c)
             rpow = jnp.stack([rho**k for k in range(10)], axis=1)
             radials = jnp.dot(
@@ -329,6 +337,15 @@ def fused_object_features(
         if with_edge:
             ec = (vr_c - g[:, o_emean : o_emean + n_ch]) * b_c[:, None]
             cols.append(ec * ec)
+        if with_radial:
+            ring_c = jnp.clip(
+                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
+            )
+            v_c = vr_c * in_c[:, None]
+            for r in range(n_rings):
+                mask = (ring_c == r).astype(jnp.float32)
+                cols.append(in_c * mask)
+                cols.append(v_c * mask[:, None])
         return _cat(cols)
 
     n_lanes_c = sum(n for _, n in spec_c)
@@ -342,16 +359,10 @@ def fused_object_features(
         parts[name] = sums_c[:, off : off + n]
         off += n
 
-    # ---------------- pass D: radial ring sums (keyed) ----------------
+    # ---------------- radial rings (computed in the C2 scan) ----------------
     radial_out = None
     if with_radial:
-        dnorm = dist / jnp.maximum(mxu_take(rmax, seg, max_cells), 1e-6)
-        ring = jnp.clip((dnorm * n_rings).astype(jnp.int32), 0, n_rings - 1)
-        keys = seg * n_rings + ring
-        payload_d = jnp.concatenate([inside[:, None], v], axis=1)
-        ring_sums = jax.ops.segment_sum(
-            payload_d, keys, num_segments=max_cells * n_rings
-        ).reshape(max_cells, n_rings, 1 + n_ch)
+        ring_sums = parts["radial"].reshape(max_cells, n_rings, 1 + n_ch)
         ring_cnt = ring_sums[..., 0]
         ring_int = ring_sums[..., 1:]
         total_int = jnp.maximum(jnp.sum(ring_int, axis=1, keepdims=True), 1e-12)

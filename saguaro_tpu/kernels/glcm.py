@@ -44,6 +44,30 @@ HARALICK_NAMES = (
 _DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
 
 
+@partial(jax.jit, static_argnames=("max_cells", "levels"))
+def quantize_channels(image, labels, max_cells, levels, stats):
+    """(H, W, C) image -> (H, W, C) per-object quantized gray levels.
+
+    All channels' per-pixel (vmin, vrange) lookups ride ONE mxu_take
+    scan (vs one per channel inside per-channel object_glcm calls).
+    ``stats``: (vmin, vmax) each (max_cells, C) — e.g. fused_measure's.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    vmin, vmax = stats
+    n_ch = image.shape[-1]
+    lab32 = labels.astype(jnp.int32)
+    lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
+    vrange = jnp.maximum(vmax - vmin, 1e-12)
+    g = mxu_take(
+        jnp.concatenate([vmin, vrange], axis=1), lab.reshape(-1), max_cells
+    ).reshape(*lab.shape, 2 * n_ch)
+    img = image.astype(jnp.float32)
+    return jnp.clip(
+        jnp.floor((img - g[..., :n_ch]) / g[..., n_ch:] * levels), 0, levels - 1
+    ).astype(jnp.int32)
+
+
 def _quantize(image, labels, max_cells, levels, stats=None):
     lab32 = labels.astype(jnp.int32)
     # overflow ids map to background (bin 0, ignored downstream)
@@ -71,21 +95,30 @@ def _quantize(image, labels, max_cells, levels, stats=None):
 
 
 def _direction_codes(lab, inside, q, levels, distance):
-    """Per pixel, per direction: the (q, q2) pair code and validity."""
+    """Per pixel, per direction: the (q, q2) pair code and validity.
+
+    Neighbor values come from pad+slice shifts — expressing them as
+    ``q[ys_c, xs_c]`` advanced indexing lowered to XLA gathers at
+    ~1.7 GB/s (profiled 0.41 s/batch for the 3 shifted images)."""
     h, w = lab.shape
     L2 = levels * levels
+
+    def shifted(a, dy, dx, fill):
+        out = jnp.pad(
+            a,
+            ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))),
+            constant_values=fill,
+        )
+        return out[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
+
     codes, oks = [], []
     for d, (dy, dx) in enumerate(_DIRECTIONS):
         dy, dx = dy * distance, dx * distance
-        ys = jnp.arange(h)[:, None] + dy
-        xs = jnp.arange(w)[None, :] + dx
-        ok = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
-        ys_c = jnp.clip(ys, 0, h - 1)
-        xs_c = jnp.clip(xs, 0, w - 1)
-        q2 = q[ys_c, xs_c]
-        lab2 = lab[ys_c, xs_c]
-        inside2 = inside[ys_c, xs_c]
-        pair_ok = inside & inside2 & ok & (lab == lab2)
+        # value at (y+dy, x+dx), out-of-range marked invalid via lab2=-1
+        q2 = shifted(q, -dy, -dx, 0)
+        lab2 = shifted(lab, -dy, -dx, -1)
+        inside2 = shifted(inside, -dy, -dx, False)
+        pair_ok = inside & inside2 & (lab == lab2)
         codes.append(d * L2 + q * levels + q2)
         oks.append(pair_ok)
     return codes, oks
@@ -100,6 +133,7 @@ def object_glcm(
     distance: int = 3,
     chunk: int = 32768,
     stats=None,
+    quantized=None,
 ) -> jax.Array:
     """(H, W) image + labels -> (4, max_cells, levels, levels) normalized
     symmetric GLCMs (one per direction).
@@ -109,9 +143,18 @@ def object_glcm(
     chunked (chunk × max_cells)ᵀ @ (chunk × 4L²) matmuls — bf16 inputs are
     exact 0/1, f32 accumulation is exact for any realistic count. ~100x
     the XLA scatter formulation on TPU (scatters serialize).
+
+    ``quantized``: optional precomputed (H, W) gray-level codes (see
+    quantize_channels) — skips this call's own range lookup scan.
     """
     L2 = levels * levels
-    lab, inside, q = _quantize(image, labels, max_cells, levels, stats)
+    if quantized is not None:
+        lab32 = labels.astype(jnp.int32)
+        lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
+        inside = labels > 0
+        q = quantized
+    else:
+        lab, inside, q = _quantize(image, labels, max_cells, levels, stats)
     codes, oks = _direction_codes(lab, inside, q, levels, distance)
 
     n = lab.size

@@ -116,7 +116,7 @@ def radius_features(
 @partial(jax.jit, static_argnames=("max_cells", "n_dirs", "max_boundary"))
 def convex_features(
     labels: jax.Array, max_cells: int = 1024, n_dirs: int = 72,
-    max_boundary: int | None = None,
+    max_boundary: int | None = None, area: jax.Array | None = None,
 ):
     """CP AreaShape Solidity / MaxFeretDiameter / MinFeretDiameter.
 
@@ -141,7 +141,10 @@ def convex_features(
     inside = (flat > 0).astype(jnp.float32)
     big = jnp.float32(3.4e38)
 
-    area = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
+    if area is None:
+        # ``area``: optional precomputed per-object pixel counts (e.g.
+        # fused_measure's cnt) — a full-size scalar scatter costs ~82 ms
+        area = jax.ops.segment_sum(inside, seg, num_segments=max_cells)
 
     # boundary pixels of each object (4-neighborhood label change)
     pad = jnp.pad(lab, 1, constant_values=0)

@@ -106,6 +106,25 @@ def run_feature_extraction_job(
                 image_number, metas[image_number]
             )
 
+    pending = None
+
+    def _finalize_pending(p):
+        if p is None:
+            return
+        from saguaro_tpu.pipeline.features import measure_site_batch_finalize
+
+        handle, p_nums, p_ok = p
+        try:
+            tables = measure_site_batch_finalize(
+                handle, image_numbers=p_nums, metadata=[metas[n] for n in p_nums]
+            )
+            for n, t in zip(p_nums, tables):
+                per_site_tables[n] = t
+        except Exception as e:
+            logger.error("batch %s failed (%s); per-site fallback", p_nums, e)
+            for n, im, lb in p_ok:
+                measure_one(n, im, lb)
+
     for items in buckets.values():
         for s in range(0, len(items), site_batch):
             chunk = items[s : s + site_batch]
@@ -142,20 +161,28 @@ def run_feature_extraction_job(
             try:
                 import jax.numpy as jnp
 
-                batch_tables = measure_site_batch(
+                from saguaro_tpu.pipeline.features import (
+                    measure_site_batch_dispatch,
+                )
+
+                handle = measure_site_batch_dispatch(
                     np.stack([im for _, im, _ in ok]),
                     jnp.stack([jnp.asarray(lb) for _, _, lb in ok]),
                     cfg,
-                    image_numbers=nums,
-                    metadata=[metas[n] for n in nums],
                     mesh=mesh,
                 )
-                for n, t in zip(nums, batch_tables):
-                    per_site_tables[n] = t
             except Exception as e:
-                logger.error("batch %s failed (%s); per-site fallback", nums, e)
+                logger.error("batch %s dispatch failed (%s); per-site fallback", nums, e)
                 for n, im, lb in ok:
                     measure_one(n, im, lb)
+                continue
+            # PIPELINE: fetch the PREVIOUS batch's packed results while
+            # this batch computes — the ~30 MB result transfer rides the
+            # relay concurrently with device compute (~1 s/batch hidden)
+            _finalize_pending(pending)
+            pending = (handle, nums, ok)
+
+    _finalize_pending(pending)
 
     all_tables: dict[str, list[pd.DataFrame]] = {}
     for image_number in sorted(per_site_tables):

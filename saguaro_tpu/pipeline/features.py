@@ -46,7 +46,14 @@ from saguaro_tpu.kernels.morphology import (
 )
 from saguaro_tpu.kernels.segment_reduce import euler_numbers
 
-__all__ = ["FeatureConfig", "measure_site", "measure_site_batch", "otsu_threshold"]
+__all__ = [
+    "FeatureConfig",
+    "measure_site",
+    "measure_site_batch",
+    "measure_site_batch_dispatch",
+    "measure_site_batch_finalize",
+    "otsu_threshold",
+]
 
 
 @dataclass(frozen=True)
@@ -165,7 +172,9 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         if cfg.measure_convex:
             from saguaro_tpu.kernels.shape_extra import convex_features
 
-            for k, v in convex_features(labels, cfg.max_cells, cfg.convex_dirs).items():
+            for k, v in convex_features(
+                labels, cfg.max_cells, cfg.convex_dirs, area=shape["Area"]
+            ).items():
                 feats[f"AreaShape_{k}"] = v
         if cfg.measure_moments:
             for k, v in fused["moments"].items():
@@ -184,13 +193,19 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             # per-channel banded one-hot GLCM: measured faster than the
             # fused multichannel variant (whose (chunk, C*4L^2) one-hot
             # blows HBM traffic); object_glcm_multichannel remains
-            # available for small channel counts. Quantization ranges
-            # reuse the fused stats (skips 2 segment_stats passes/ch).
+            # available for small channel counts. All channels' gray
+            # levels quantize through ONE range-lookup scan reusing the
+            # fused stats (quantize_channels).
+            from saguaro_tpu.kernels.glcm import quantize_channels
+
+            q_mc = quantize_channels(
+                image, labels, cfg.max_cells, cfg.glcm_levels,
+                stats=(fused["stats"][1], fused["stats"][2]),
+            )
             for c in range(n_ch):
                 glcms = object_glcm(
                     image[..., c], labels, cfg.max_cells, cfg.glcm_levels,
-                    cfg.texture_scale,
-                    stats=(fused["stats"][1][:, c], fused["stats"][2][:, c]),
+                    cfg.texture_scale, quantized=q_mc[..., c],
                 )
                 har = haralick_features(glcms)  # each (4, max_cells)
                 for k in HARALICK_NAMES:
@@ -317,6 +332,53 @@ def _measure_fetch(images, nuclei, cfg, batched: bool, mesh=None):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def measure_site_batch_dispatch(
+    images, nuclei_labels, cfg: FeatureConfig, mesh=None
+):
+    """Launch the batched measurement program; returns an opaque handle.
+
+    JAX dispatch is asynchronous: the device computes while the host
+    does other work. Finalize with ``measure_site_batch_finalize`` —
+    overlapping the finalize (a ~30 MB packed result fetch, ~1 s/batch
+    through this environment's relay) with the NEXT batch's compute is
+    the driver's pipelining lever."""
+    images = jnp.asarray(images, jnp.float32)
+    nuclei = jnp.asarray(nuclei_labels, jnp.int32)
+    if mesh is not None and images.shape[0] % mesh.shape["data"] == 0:
+        from saguaro_tpu.parallel.mesh import shard_batch
+
+        images = shard_batch(images, mesh)
+        nuclei = shard_batch(nuclei, mesh)
+    treedef, leaf_specs = _result_spec(images.shape, nuclei.shape, cfg, True)
+    flat_dev = _measure_flat(images, nuclei, cfg, True)
+    return (flat_dev, treedef, leaf_specs, len(images))
+
+
+def measure_site_batch_finalize(
+    handle,
+    image_numbers: list[int] | None = None,
+    metadata: list[dict] | None = None,
+) -> list[dict[str, pd.DataFrame]]:
+    """Fetch a dispatched measurement and build the per-site CP tables."""
+    flat_dev, treedef, leaf_specs, b = handle
+    flat = np.asarray(flat_dev)
+    leaves, off = [], 0
+    for shape, dtype in leaf_specs:
+        n = int(np.prod(shape)) if shape else 1
+        arr = flat[off : off + n].reshape(shape)
+        leaves.append(arr.astype(dtype) if np.issubdtype(dtype, np.integer) else arr)
+        off += n
+    res = jax.tree_util.tree_unflatten(treedef, leaves)
+    image_numbers = image_numbers or list(range(1, b + 1))
+    metadata = metadata or [{}] * b
+    return [
+        _tables_from_result(
+            jax.tree.map(lambda a, i=i: a[i], res), image_numbers[i], metadata[i]
+        )
+        for i in range(b)
+    ]
+
+
 def measure_site_batch(
     images: np.ndarray,
     nuclei_labels: np.ndarray,
@@ -332,16 +394,8 @@ def measure_site_batch(
     dispatches and batched MXU/VPU kernels — the plate-budget path
     (VERDICT r1 weak #3: 10.5 s/site measured one site at a time).
     """
-    b = len(images)
-    image_numbers = image_numbers or list(range(1, b + 1))
-    metadata = metadata or [{}] * b
-    res = _measure_fetch(images, nuclei_labels, cfg, batched=True, mesh=mesh)
-    return [
-        _tables_from_result(
-            jax.tree.map(lambda a, i=i: a[i], res), image_numbers[i], metadata[i]
-        )
-        for i in range(b)
-    ]
+    handle = measure_site_batch_dispatch(images, nuclei_labels, cfg, mesh=mesh)
+    return measure_site_batch_finalize(handle, image_numbers, metadata)
 
 
 def measure_site(
