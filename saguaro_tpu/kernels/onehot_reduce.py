@@ -13,17 +13,22 @@ real-valued sums use f32 at HIGHEST precision.
 The multi-code form fuses several histograms against ONE label one-hot
 per chunk — the label matrix is the dominant HBM traffic.
 
-Measured guidance (v5e, 1080² images, 512-cell bound): the matmul
-formulation wins where the scatter's segment space is large AND the
-histogram is reused heavily — the GLCM (cells x L² x 4 directions) went
-7x faster (kernels/glcm.py uses this pattern inline), and
-``segment_matmul_sums`` now carries every plain per-object sum in
-segment_reduce.py (shape/intensity/correlation) and kernels/moments.py
-as multi-lane payloads. For the medium keyed histograms (quantile bins,
-cells x cells neighbor counts, Zernike column sums) the scatter
-formulation measured FASTER — XLA fuses those well enough that the
-one-hot HBM traffic dominates — so objects_extra.py/zernike.py keep
-their scatter forms.
+Measured guidance (v5e, 1080² images, 512-cell bound, device-profiled):
+EVERY full-size scalar scatter (segment_sum of 9.3M keys) and every
+full-size table gather (jnp.take by 9.3M keys) runs at ~1.7 GB/s
+effective — ~82-87 ms each — while the equivalent chunked one-hot
+matmul scan does the same reduction/lookup in ~13-38 ms on the MXU with
+all lanes/columns riding one scan. Consequently the measurement stack
+routes ALL of: per-object sums (segment_matmul_sums), histograms /
+pair counts (onehot_counts), and per-pixel table lookups (mxu_take,
+plus fused_measure._lane_scan's in-scan variant) through this module.
+Only min/max reductions remain XLA scatters (no matmul form).
+
+An earlier round measured the scatter forms FASTER for medium keyed
+histograms — that conclusion predated the int16 -1-coded validity
+layout and per-chunk lane building; with those, the matmul form wins
+everywhere it applies (bisected: quantiles 0.45 -> 0.01 s/site,
+neighbors 0.29 -> 0.16, texture 0.47 -> 0.24).
 """
 
 from __future__ import annotations
