@@ -191,39 +191,29 @@ def fused_object_features(
     mean = s / denom[:, None]
     zero = cnt <= 0
 
-    # ---------------- pass B: multi-lane min / max ----------------
+    # ---------------- pass B max + combined min (with C0 lanes) --------
     # NOTE: multi-lane (N, K_small) scatter operands tile exactly in THIS
     # per-object-set structure; under an object-set vmap XLA re-lays them
     # out with the K minor dim padded to 128 lanes (64x HBM blowup) —
-    # measured, which is why features.py loops object sets instead
+    # measured, which is why features.py loops object sets instead.
+    # Scatter cost is flat in lane count (~75 ms per full-size pass), so
+    # the C0 distance/argmax lanes ride the SAME min scatter as the
+    # bbox/intensity minima — one fewer scatter per object set.
     big = jnp.float32(3.4e38)
-    min_lanes = [
-        jnp.where(inside_m, yf, big)[:, None],
-        jnp.where(inside_m, xf, big)[:, None],
-        jnp.where(inside_m[:, None], vr, big),
-    ]
     max_lanes = [
         jnp.where(inside_m, yf, -big)[:, None],
         jnp.where(inside_m, xf, -big)[:, None],
         jnp.where(inside_m[:, None], vr, -big),
     ]
     if with_edge:
-        min_lanes.append(jnp.where(boundary_m[:, None], vr, big))
         max_lanes.append(jnp.where(boundary_m[:, None], vr, -big))
-    mins = jax.ops.segment_min(
-        jnp.concatenate(min_lanes, axis=1), seg, num_segments=max_cells
-    )
     maxs = jax.ops.segment_max(
         jnp.concatenate(max_lanes, axis=1), seg, num_segments=max_cells
     )
-    ymin, xmin = mins[:, 0], mins[:, 1]
     ymax, xmax = maxs[:, 0], maxs[:, 1]
-    vmin = mins[:, 2 : 2 + n_ch]
     vmax = maxs[:, 2 : 2 + n_ch]
-    edge_vmin = mins[:, 2 + n_ch :] if with_edge else None
     edge_vmax = maxs[:, 2 + n_ch :] if with_edge else None
 
-    # ---------------- pass C0: distance max + argmax picks ----------------
     # centroid + vmax lookups as ONE mxu_take matmul scan: full-size XLA
     # gathers run at ~1.7 GB/s on TPU (profiled ~85 ms each; this path
     # held ~1.3 s/batch of them), and a single (N, C) gather also got a
@@ -238,18 +228,29 @@ def fused_object_features(
     dist = jnp.sqrt(dy * dy + dx * dx)
     at_max = inside_m[:, None] & (vr >= g0[:, 2:])
     idxf = jnp.arange(h * w, dtype=jnp.float32)
-    c0_lanes = [
+    min_lanes = [
+        jnp.where(inside_m, yf, big)[:, None],
+        jnp.where(inside_m, xf, big)[:, None],
+        jnp.where(inside_m[:, None], vr, big),
         # zernike/radial convention: rmax over inside pixels, fill -1
         jnp.where(inside_m, -dist, -(-1.0))[:, None],
         jnp.where(at_max, idxf[:, None], jnp.float32(h * w)),
     ]
-    c0 = jax.ops.segment_min(
-        jnp.concatenate(c0_lanes, axis=1), seg, num_segments=max_cells
+    if with_edge:
+        min_lanes.append(jnp.where(boundary_m[:, None], vr, big))
+    mins = jax.ops.segment_min(
+        jnp.concatenate(min_lanes, axis=1), seg, num_segments=max_cells
     )
-    rmax = -c0[:, 0]
-    pick_i = jnp.clip(c0[:, 1:], 0, h * w - 1).astype(jnp.int32)
+    ymin, xmin = mins[:, 0], mins[:, 1]
+    vmin = mins[:, 2 : 2 + n_ch]
+    o_c0 = 2 + n_ch
+    rmax = -mins[:, o_c0]
+    pick_i = jnp.clip(
+        mins[:, o_c0 + 1 : o_c0 + 1 + n_ch], 0, h * w - 1
+    ).astype(jnp.int32)
     max_y = (pick_i // w).astype(jnp.float32)
     max_x = (pick_i % w).astype(jnp.float32)
+    edge_vmin = mins[:, o_c0 + 1 + n_ch :] if with_edge else None
 
     # ---------------- pass C2: centered power products ----------------
     # (lanes built in-chunk by _lane_scan: the ~96-lane payload plus its

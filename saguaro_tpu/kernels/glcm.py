@@ -45,26 +45,34 @@ _DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
 
 
 @partial(jax.jit, static_argnames=("max_cells", "levels"))
-def quantize_channels(image, labels, max_cells, levels, stats):
+def quantize_channels(image, labels, max_cells, levels, stats=None, ranges=None):
     """(H, W, C) image -> (H, W, C) per-object quantized gray levels.
 
     All channels' per-pixel (vmin, vrange) lookups ride ONE mxu_take
     scan (vs one per channel inside per-channel object_glcm calls).
     ``stats``: (vmin, vmax) each (max_cells, C) — e.g. fused_measure's.
+    ``ranges``: optional pregathered per-pixel (pmin, prange) each
+    (N, C) — shared with the quantile kernel's range lookups.
     """
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
-
-    vmin, vmax = stats
     n_ch = image.shape[-1]
-    lab32 = labels.astype(jnp.int32)
-    lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
-    vrange = jnp.maximum(vmax - vmin, 1e-12)
-    g = mxu_take(
-        jnp.concatenate([vmin, vrange], axis=1), lab.reshape(-1), max_cells
-    ).reshape(*lab.shape, 2 * n_ch)
     img = image.astype(jnp.float32)
+    if ranges is not None:
+        pmin, prange = ranges
+        pmin = pmin.reshape(*labels.shape, n_ch)
+        prange = prange.reshape(*labels.shape, n_ch)
+    else:
+        from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+        vmin, vmax = stats
+        lab32 = labels.astype(jnp.int32)
+        lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
+        vrange = jnp.maximum(vmax - vmin, 1e-12)
+        g = mxu_take(
+            jnp.concatenate([vmin, vrange], axis=1), lab.reshape(-1), max_cells
+        ).reshape(*lab.shape, 2 * n_ch)
+        pmin, prange = g[..., :n_ch], g[..., n_ch:]
     return jnp.clip(
-        jnp.floor((img - g[..., :n_ch]) / g[..., n_ch:] * levels), 0, levels - 1
+        jnp.floor((img - pmin) / prange * levels), 0, levels - 1
     ).astype(jnp.int32)
 
 

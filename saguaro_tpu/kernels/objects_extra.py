@@ -62,7 +62,8 @@ def quantile_intensity_features(
 
 @partial(jax.jit, static_argnames=("max_cells",))
 def quantile_intensity_features_mc(
-    image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None
+    image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None,
+    ranges=None,
 ):
     """Multichannel quantile intensities: (H, W, C) image -> dict of
     (max_cells, C). All channels' per-object histograms contract against
@@ -71,7 +72,10 @@ def quantile_intensity_features_mc(
     traffic, so fusing channels is nearly free.
 
     ``stats``: optional precomputed (cnt (max_cells,), vmin, vmax
-    (max_cells, C)) from kernels/fused_measure."""
+    (max_cells, C)) from kernels/fused_measure.
+    ``ranges``: optional pregathered per-pixel (pmin, prange) each
+    (N, C) — shared with GLCM quantization, skipping this kernel's own
+    range-lookup scan (requires ``stats``)."""
     n_ch = image.shape[-1]
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
@@ -97,13 +101,16 @@ def quantile_intensity_features_mc(
     else:
         cnt, vmin, vmax = stats
     vrange = jnp.maximum(vmax - vmin, 1e-12)          # (max_cells, C)
-    # per-pixel range lookups as one matmul-take scan (full-size XLA
-    # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
     from saguaro_tpu.kernels.onehot_reduce import mxu_take
 
-    gq = mxu_take(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
-    pmin = gq[:, :n_ch]                               # (N, C)
-    prange = gq[:, n_ch:]
+    if ranges is not None:
+        pmin, prange = ranges                         # (N, C) each
+    else:
+        # per-pixel range lookups as one matmul-take scan (full-size XLA
+        # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
+        gq = mxu_take(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
+        pmin = gq[:, :n_ch]
+        prange = gq[:, n_ch:]
     bins = jnp.clip(((v - pmin) / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
     hists = onehot_counts(
         seg, [(bins[:, c], inside, _NBINS) for c in range(n_ch)], max_cells

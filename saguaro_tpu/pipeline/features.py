@@ -189,18 +189,30 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             neigh = neighbor_features(labels, cfg.max_cells, cfg.neighbor_distance)
             for k, v in neigh.items():
                 feats[f"Neighbors_{k}_{cfg.neighbor_distance}"] = v
+        cnt_f, vmin_f, vmax_f = fused["stats"]
+        if cfg.measure_quantiles or cfg.measure_texture:
+            # ONE per-pixel (vmin, vrange) lookup scan shared by GLCM
+            # quantization AND the quantile histograms
+            from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+            lab32 = labels.astype(jnp.int32)
+            seg_q = jnp.where(
+                (lab32 > 0) & (lab32 < cfg.max_cells), lab32, 0
+            ).reshape(-1)
+            vrange_f = jnp.maximum(vmax_f - vmin_f, 1e-12)
+            g_ranges = mxu_take(
+                jnp.concatenate([vmin_f, vrange_f], axis=1), seg_q, cfg.max_cells
+            )
+            px_ranges = (g_ranges[:, :n_ch], g_ranges[:, n_ch:])
         if cfg.measure_texture:
             # per-channel banded one-hot GLCM: measured faster than the
             # fused multichannel variant (whose (chunk, C*4L^2) one-hot
             # blows HBM traffic); object_glcm_multichannel remains
-            # available for small channel counts. All channels' gray
-            # levels quantize through ONE range-lookup scan reusing the
-            # fused stats (quantize_channels).
+            # available for small channel counts.
             from saguaro_tpu.kernels.glcm import quantize_channels
 
             q_mc = quantize_channels(
-                image, labels, cfg.max_cells, cfg.glcm_levels,
-                stats=(fused["stats"][1], fused["stats"][2]),
+                image, labels, cfg.max_cells, cfg.glcm_levels, ranges=px_ranges
             )
             for c in range(n_ch):
                 glcms = object_glcm(
@@ -214,12 +226,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                             f"Texture_{k}_{cfg.channels[c]}_{cfg.texture_scale}_{d:02d}_{cfg.glcm_levels}"
                         ] = har[k][d]
         inten_mc, corr_mc = fused["intensity"], fused["corr"]
-        cnt_f, vmin_f, vmax_f = fused["stats"]
         if cfg.measure_quantiles:
             # all channels' one-hot histogram passes share one label
             # one-hot per chunk (objects_extra.quantile_intensity_features_mc)
             quant_mc = quantile_intensity_features_mc(
-                image, labels, cfg.max_cells, stats=(cnt_f, vmin_f, vmax_f)
+                image, labels, cfg.max_cells,
+                stats=(cnt_f, vmin_f, vmax_f), ranges=px_ranges,
             )
         for c in range(n_ch):
             ch_name = cfg.channels[c]
