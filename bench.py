@@ -111,24 +111,28 @@ def main() -> None:
     fcfg = FeatureConfig(channels=tuple(cfg.channels))
 
     # production pipelining (pipeline/feature_extraction.py): batch i+1 is
-    # dispatched before batch i's ~30 MB packed result fetch, so the
-    # relay transfer rides concurrently with device compute
+    # dispatched before batch i's ~30 MB packed result fetch. One timed
+    # call runs a SELF-CONTAINED 3-batch pipeline (dispatch k+1, finalize
+    # k, drain) so no compute leaks across the timing boundary.
     from saguaro_tpu.pipeline.features import (
         measure_site_batch_dispatch,
         measure_site_batch_finalize,
     )
-    measure_pending: list = []
+    MEASURE_K = 3
 
     def run_measure():
-        h = measure_site_batch_dispatch(images_dev, labels_dev, fcfg)
-        if measure_pending:
-            measure_site_batch_finalize(measure_pending.pop())
-        measure_pending.append(h)
+        prev = None
+        for _ in range(MEASURE_K):
+            h = measure_site_batch_dispatch(images_dev, labels_dev, fcfg)
+            if prev is not None:
+                measure_site_batch_finalize(prev)
+            prev = h
+        measure_site_batch_finalize(prev)
 
     ship_s = timed(run_ship, iters=3) / b
     seg_s = timed(run_segment) / b
     embed_s = timed(run_embed) / b
-    feat_s = timed(run_measure) / b
+    feat_s = timed(run_measure) / (b * MEASURE_K)
 
     site_s = ship_s + seg_s + embed_s + feat_s
     plate_s = site_s * SITES_PER_PLATE
