@@ -20,7 +20,7 @@ Column naming follows the CP conventions the suite's regexes rely on:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -32,7 +32,6 @@ from saguaro_tpu.kernels.glcm import (
     HARALICK_NAMES,
     haralick_features,
     object_glcm,
-    object_glcm_multichannel,
 )
 from saguaro_tpu.kernels.objects_extra import (
     neighbor_features,

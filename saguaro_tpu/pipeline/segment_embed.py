@@ -32,7 +32,6 @@ import logging
 import queue
 import threading
 from dataclasses import dataclass, field
-from functools import partial
 
 import jax
 import jax.numpy as jnp
