@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import os
-SIZE, N_CH = 1080, 2
+SIZE = 1080
+N_CH = int(os.environ.get("BISECT_NCH", "2"))
 B = int(os.environ.get("BISECT_BATCH", "8"))
 
 
