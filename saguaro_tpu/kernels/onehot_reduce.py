@@ -123,6 +123,12 @@ def onehot_counts(
     program (code sizes must fit int16; all callers bin to <= 32k).
     """
     sizes = tuple(n for _, _, n in codes)
+    if any(n > 32768 for n in sizes):
+        # int16 code storage: a code >= 32768 would wrap negative and its
+        # one-hot row silently become zero, dropping counts — fail loudly
+        raise ValueError(
+            f"onehot_counts code spaces must fit int16 (<= 32768), got {sizes}"
+        )
     code_arr = jnp.stack(
         [
             jnp.where(v, c.astype(jnp.int32), -1).astype(jnp.int16)

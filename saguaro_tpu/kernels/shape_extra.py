@@ -155,6 +155,12 @@ def convex_features(
         | (pad[1:-1, 2:] != lab)
     ) & (lab > 0)
     k_bound = max_boundary or max(h * w // 8, 4096)
+    # surface compaction overflow at runtime (ADVICE r2): a pathological
+    # segmentation whose boundary raster exceeds the static bound loses
+    # tail pixels silently otherwise — downstream QC gets the count of
+    # dropped boundary pixels (0 on every clean site)
+    n_boundary = jnp.sum(boundary.astype(jnp.int32))
+    overflow = jnp.maximum(n_boundary - k_bound, 0).astype(jnp.float32)
     (bi,) = jnp.nonzero(boundary.reshape(-1), size=k_bound, fill_value=0)
     yb = (bi // w).astype(jnp.float32)
     xb = (bi % w).astype(jnp.float32)
@@ -217,4 +223,8 @@ def convex_features(
         "MaxFeretDiameter": z(feret_max),
         "MinFeretDiameter": z(feret_min),
         "ConvexArea": z(hull_area_px),
+        # per-site scalar (callers pop it into the Image table): boundary
+        # pixels dropped by the static compaction bound — nonzero means
+        # the hull sweep was truncated on this site
+        "BoundaryOverflow": overflow,
     }

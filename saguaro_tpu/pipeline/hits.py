@@ -39,7 +39,7 @@ def extract_timepoint_numeric(tp) -> float:
 
 def _save_fig(bucket: str, key: str) -> str:
     buf = io.BytesIO()
-    plt.savefig(buf, format="png", dpi=150, bbox_inches="tight")
+    plt.savefig(buf, format="png", dpi=300, bbox_inches="tight")
     plt.close()
     path = bucket_path(bucket, key)
     storage.write_bytes(path, buf.getvalue())
