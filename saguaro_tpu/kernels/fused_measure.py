@@ -149,16 +149,15 @@ def fused_object_features(
     yf, xf = yy.reshape(-1), xx.reshape(-1)
     vr = image.reshape(-1, n_ch).astype(jnp.float32)
 
-    lab = labels.astype(jnp.int32)
-    pad = jnp.pad(lab, 1, constant_values=0)
-    boundary_m = (
-        (pad[:-2, 1:-1] != lab)
-        | (pad[2:, 1:-1] != lab)
-        | (pad[1:-1, :-2] != lab)
-        | (pad[1:-1, 2:] != lab)
-    ) & (lab > 0)
-    boundary_m = boundary_m.reshape(-1)
+    # CP-exact weighted perimeter (skimage regionprops convention) rides
+    # pass A as one extra lane; the plain boundary-pixel COUNT stays the
+    # edge-intensity denominator (CP edge stats run over the outline set)
+    from saguaro_tpu.kernels.segment_reduce import perimeter_weight_image
+
+    pweight, boundary_2d = perimeter_weight_image(labels)
+    boundary_m = boundary_2d.reshape(-1)
     boundary = boundary_m.astype(jnp.float32)
+    pweight = pweight.reshape(-1)
 
     # ---------------- pass A: all linear sums ----------------
     def _cat(cols):
@@ -166,20 +165,20 @@ def fused_object_features(
             [c if c.ndim == 2 else c[:, None] for c in cols], axis=1
         )
 
-    def lanes_a_fn(seg_c, in_c, y_c, x_c, b_c, vr_c):
+    def lanes_a_fn(seg_c, in_c, y_c, x_c, b_c, pw_c, vr_c):
         v_c = vr_c * in_c[:, None]
-        cols = [in_c, y_c * in_c, x_c * in_c, b_c, v_c, y_c[:, None] * v_c,
-                x_c[:, None] * v_c]
+        cols = [in_c, y_c * in_c, x_c * in_c, b_c, pw_c, v_c,
+                y_c[:, None] * v_c, x_c[:, None] * v_c]
         if with_edge:
             cols.append(vr_c * b_c[:, None])
         return _cat(cols)
 
-    n_lanes_a = 4 + 3 * n_ch + (n_ch if with_edge else 0)
+    n_lanes_a = 5 + 3 * n_ch + (n_ch if with_edge else 0)
     sums_a = _lane_scan(
-        seg, [inside, yf, xf, boundary, vr], lanes_a_fn, n_lanes_a, max_cells
+        seg, [inside, yf, xf, boundary, pweight, vr], lanes_a_fn, n_lanes_a, max_cells
     )
-    cnt, sy, sx, perim = (sums_a[:, i] for i in range(4))
-    o = 4
+    cnt, sy, sx, edge_cnt, perim = (sums_a[:, i] for i in range(5))
+    o = 5
     s = sums_a[:, o : o + n_ch]
     wy = sums_a[:, o + n_ch : o + 2 * n_ch]
     wx = sums_a[:, o + 2 * n_ch : o + 3 * n_ch]
@@ -226,7 +225,15 @@ def fused_object_features(
     dy = yf - g0[:, 0]
     dx = xf - g0[:, 1]
     dist = jnp.sqrt(dy * dy + dx * dx)
-    at_max = inside_m[:, None] & (vr >= g0[:, 2:])
+    # tolerant max-pixel test: g0's 3-term bf16 reconstruction of vmax is
+    # exact only to ~1-2 f32 ulp, and a reconstruction 1 ulp ABOVE the
+    # true max would otherwise match no pixel (the segment_min over an
+    # empty candidate set returns the h*w fill -> bottom-right corner).
+    # eps = a few ulp of the channel max; for integer-valued (uint16)
+    # intensities this is far below one gray level, so no wrong pixel
+    # can slip under the tolerance.
+    g0v = g0[:, 2:]
+    at_max = inside_m[:, None] & (vr >= g0v - (jnp.abs(g0v) * 4e-6 + 1e-12))
     idxf = jnp.arange(h * w, dtype=jnp.float32)
     min_lanes = [
         jnp.where(inside_m, yf, big)[:, None],
@@ -269,7 +276,7 @@ def fused_object_features(
     if pairs:
         spec_c.append(("cross", len(pairs)))
     if with_edge:
-        edge_denom = jnp.maximum(perim, 1.0)
+        edge_denom = jnp.maximum(edge_cnt, 1.0)
         edge_mean = edge_s / edge_denom[:, None]
         spec_c.append(("edge_var", n_ch))
     if with_radial:
@@ -498,7 +505,7 @@ def fused_object_features(
 
     edge_out = None
     if with_edge:
-        e_zero = (perim <= 0)[:, None]
+        e_zero = (edge_cnt <= 0)[:, None]
         ze = lambda a: jnp.where(e_zero, 0.0, a)
         e_var = jnp.maximum(parts["edge_var"] / edge_denom[:, None], 0.0)
         edge_out = {

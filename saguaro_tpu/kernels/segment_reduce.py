@@ -22,6 +22,7 @@ __all__ = [
     "segment_stats",
     "intensity_features",
     "shape_features",
+    "perimeter_weight_image",
     "correlation_features",
 ]
 
@@ -131,6 +132,59 @@ def intensity_features(image: jax.Array, labels: jax.Array, max_cells: int = 102
     }
 
 
+def perimeter_weight_image(labels: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel weights of the CP 4.2.8 perimeter (exact).
+
+    CP 4.2.8 MeasureObjectSizeShape records regionprops' ``perimeter`` =
+    ``skimage.measure.perimeter(mask, neighbourhood=4)``: border pixels
+    (4-connected erosion residue) are scored by their 3x3 configuration
+    value ``1 + 2*n4 + 10*nd`` (n4/nd = 4-adjacent / diagonal border
+    neighbors of the same object) through a 50-entry weight table with
+    weights 1, sqrt(2), (1+sqrt2)/2 on the attained configurations
+    (consumed via FormFactor/Compactness at Normalize_CP_ami.py:47-52).
+
+    TPU-native: the table lookup collapses to VPU predicate arithmetic —
+    indices {5,7,15,17,25,27} -> 1 are exactly (n4 in {2,3}, nd <= 2);
+    {21,33} -> sqrt2 are (n4=0, nd=2) | (n4=1, nd=3); {13,23} ->
+    (1+sqrt2)/2 are (n4=1, nd in {1,2}); every other configuration
+    weighs 0 — no gathers, 8 shifts, vmappable over a site batch.
+
+    Each object is scored on its own isolated mask (regionprops
+    semantics: other labels count as background), which the label-aware
+    neighbor tests reproduce without per-object loops. Returns
+    (weights (H, W) f32, border (H, W) bool).
+    """
+    lab = labels.astype(jnp.int32)
+    pad_l = jnp.pad(lab, 1, constant_values=0)
+
+    def sh(a, dy, dx):
+        return a[1 + dy : a.shape[0] - 1 + dy, 1 + dx : a.shape[1] - 1 + dx]
+
+    border = (
+        (sh(pad_l, -1, 0) != lab)
+        | (sh(pad_l, 1, 0) != lab)
+        | (sh(pad_l, 0, -1) != lab)
+        | (sh(pad_l, 0, 1) != lab)
+    ) & (lab > 0)
+    pad_b = jnp.pad(border, 1, constant_values=False)
+
+    def nb(dy, dx):
+        # same-label border neighbor at offset (dy, dx)
+        return (sh(pad_b, dy, dx) & (sh(pad_l, dy, dx) == lab)).astype(jnp.int32)
+
+    n4 = nb(-1, 0) + nb(1, 0) + nb(0, -1) + nb(0, 1)
+    nd = nb(-1, -1) + nb(-1, 1) + nb(1, -1) + nb(1, 1)
+    w1 = ((n4 == 2) | (n4 == 3)) & (nd <= 2)
+    ws2 = ((n4 == 0) & (nd == 2)) | ((n4 == 1) & (nd == 3))
+    wh = (n4 == 1) & ((nd == 1) | (nd == 2))
+    weights = (
+        w1.astype(jnp.float32)
+        + ws2.astype(jnp.float32) * jnp.float32(jnp.sqrt(2.0))
+        + wh.astype(jnp.float32) * jnp.float32((1.0 + jnp.sqrt(2.0)) / 2.0)
+    )
+    return jnp.where(border, weights, 0.0), border
+
+
 @partial(jax.jit, static_argnames=("max_cells",))
 def shape_features(labels: jax.Array, max_cells: int = 1024):
     """CP AreaShape core set from raw moments + boundary counts.
@@ -149,14 +203,9 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )
 
-    # perimeter: pixels with a 4-neighbor outside the same label
-    lab = labels.astype(jnp.int32)
-    pad = jnp.pad(lab, 1, constant_values=0)
-    up = pad[:-2, 1:-1] != lab
-    down = pad[2:, 1:-1] != lab
-    left = pad[1:-1, :-2] != lab
-    right = pad[1:-1, 2:] != lab
-    boundary = (up | down | left | right) & inside
+    # perimeter: CP-exact weighted boundary configurations (skimage
+    # regionprops 'perimeter'; oracle tests/oracles.skimage_perimeter_oracle)
+    pw, _boundary = perimeter_weight_image(labels)
 
     # plain sums as chunked one-hot matmuls (scatters serialize on TPU).
     # Two passes: first the linear sums, then the second moments over
@@ -166,7 +215,7 @@ def shape_features(labels: jax.Array, max_cells: int = 1024):
     yf = yy.reshape(-1)
     xf = xx.reshape(-1)
     payload = jnp.stack(
-        [ones, yf * ones, xf * ones, boundary.reshape(-1).astype(jnp.float32)],
+        [ones, yf * ones, xf * ones, pw.reshape(-1)],
         axis=1,
     )
     sums = segment_matmul_sums(seg, payload, max_cells)

@@ -171,9 +171,15 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         if cfg.measure_convex:
             from saguaro_tpu.kernels.shape_extra import convex_features
 
-            for k, v in convex_features(
+            conv = convex_features(
                 labels, cfg.max_cells, cfg.convex_dirs, area=shape["Area"]
-            ).items():
+            )
+            # per-site QC scalar, not a per-object feature: boundary pixels
+            # dropped by the hull sweep's static compaction bound
+            out["image"][f"BoundaryCompaction_Overflow_{obj_name}"] = conv.pop(
+                "BoundaryOverflow"
+            )
+            for k, v in conv.items():
                 feats[f"AreaShape_{k}"] = v
         if cfg.measure_moments:
             for k, v in fused["moments"].items():

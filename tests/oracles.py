@@ -109,3 +109,164 @@ def cosine_similarity_oracle(x: np.ndarray) -> np.ndarray:
     from sklearn.metrics.pairwise import cosine_similarity
 
     return cosine_similarity(x)
+
+
+def skimage_perimeter_oracle(mask: np.ndarray) -> float:
+    """skimage.measure.perimeter(mask, neighbourhood=4) transcription —
+    the regionprops 'perimeter' property CP 4.2.8 MeasureObjectSizeShape
+    records (CellProfiler 4.2 measureobjectsizeshape uses
+    skimage.measure.regionprops; consumed at Normalize_CP_ami.py:47-52).
+
+    Border pixels (4-connected erosion residue) are scored by their 3x3
+    border-neighbor configuration: value = 1 + 2*(N/S/E/W border
+    neighbors) + 10*(diagonal border neighbors); weights 1, sqrt(2) and
+    (1+sqrt(2))/2 on the attained configurations.
+    """
+    strel = scipy.ndimage.generate_binary_structure(2, 1)
+    image = (mask > 0).astype(np.uint8)
+    eroded = scipy.ndimage.binary_erosion(image, strel, border_value=0)
+    border = image - eroded
+    perimeter_weights = np.zeros(50)
+    perimeter_weights[[5, 7, 15, 17, 25, 27]] = 1.0
+    perimeter_weights[[21, 33]] = np.sqrt(2.0)
+    perimeter_weights[[13, 23]] = (1.0 + np.sqrt(2.0)) / 2.0
+    perimeter_image = scipy.ndimage.convolve(
+        border,
+        np.array([[10, 2, 10], [2, 1, 2], [10, 2, 10]]),
+        mode="constant",
+        cval=0,
+    )
+    return float(perimeter_weights[perimeter_image].sum())
+
+
+def object_perimeters_oracle(labels: np.ndarray, max_cells: int) -> np.ndarray:
+    """Per-object skimage perimeter, each object measured on its own
+    isolated mask (regionprops semantics: other labels = background)."""
+    out = np.zeros(max_cells)
+    for l in np.unique(labels[labels > 0]):
+        if l < max_cells:
+            out[l] = skimage_perimeter_oracle(labels == l)
+    return out
+
+
+def object_edt_oracle(labels: np.ndarray) -> np.ndarray:
+    """Per-object exact EDT: distance of each object pixel to the nearest
+    pixel OUTSIDE the object (background or touching neighbor), computed
+    per isolated mask with scipy.ndimage.distance_transform_edt — the
+    centrosome distance_to_edge semantics CP 4.2.8 uses for
+    Mean/Median/MaximumRadius (color-classed exact EDT)."""
+    out = np.zeros(labels.shape)
+    for l in np.unique(labels[labels > 0]):
+        m = labels == l
+        out[m] = scipy.ndimage.distance_transform_edt(m)[m]
+    return out
+
+
+def radius_stats_oracle(labels: np.ndarray, max_cells: int):
+    """Per-object mean / np.median / max of the exact per-object EDT."""
+    dist = object_edt_oracle(labels)
+    mean = np.zeros(max_cells)
+    median = np.zeros(max_cells)
+    dmax = np.zeros(max_cells)
+    for l in np.unique(labels[labels > 0]):
+        if l < max_cells:
+            v = dist[labels == l]
+            mean[l] = v.mean()
+            median[l] = np.median(v)
+            dmax[l] = v.max()
+    return mean, median, dmax
+
+
+def propagate_dijkstra_oracle(
+    labels: np.ndarray,
+    intensity: np.ndarray,
+    threshold: float,
+    regularization: float,
+) -> np.ndarray:
+    """Unbounded shortest-path label propagation over the 8-connected
+    grid with the centrosome propagate metric
+    sqrt((dI^2 + lambda*d^2) / (1 + lambda)) — the convergence oracle for
+    kernels/morphology.propagate_labels (CP IdentifySecondaryObjects
+    'propagation', consumed via the Cells/Cytoplasm tables at
+    Normalize_CP_ami.py:47-64)."""
+    import heapq
+
+    h, w = labels.shape
+    lam = float(regularization)
+    img = intensity.astype(np.float64)
+    claimable = img > threshold
+    dist = np.full((h, w), np.inf)
+    out = labels.astype(np.int64).copy()
+    heap = []
+    for y, x in zip(*np.nonzero(labels > 0)):
+        dist[y, x] = 0.0
+        heapq.heappush(heap, (0.0, int(y), int(x)))
+    steps = [
+        (-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
+        (-1, -1, 2.0), (-1, 1, 2.0), (1, -1, 2.0), (1, 1, 2.0),
+    ]
+    while heap:
+        d, y, x = heapq.heappop(heap)
+        if d > dist[y, x]:
+            continue
+        for dy, dx, d2 in steps:
+            ny, nx = y + dy, x + dx
+            if not (0 <= ny < h and 0 <= nx < w):
+                continue
+            if labels[ny, nx] > 0 or not claimable[ny, nx]:
+                continue
+            dI = img[ny, nx] - img[y, x]
+            cost = np.sqrt((dI * dI + lam * d2) / (1.0 + lam))
+            nd = d + cost
+            if nd < dist[ny, nx]:
+                dist[ny, nx] = nd
+                out[ny, nx] = out[y, x]
+                heapq.heappush(heap, (nd, int(ny), int(nx)))
+    return out
+
+
+def cellpose_convert_image_oracle(x: np.ndarray, nchan: int = 2) -> np.ndarray:
+    """cellpose transforms.convert_image(x, channels=None) + normalize_img
+    transcription (cellpose v2.2 transforms.py) for a (H, W, C) 2D input —
+    the preprocessing CellposeModel.eval applies before the network when
+    the reference calls cell_model.eval(image, diameter=100) with no
+    channels argument (Cellpose_GPU_s3fs.py:143):
+
+    * channels-last already (move_min_dim no-op for (H, W, C<=min(H,W)));
+    * channels=None: keep the FIRST nchan channels (warn+truncate when
+      more; zero-pad when fewer) — nchan=2 for the 'nuclei' model;
+    * normalize_img: per channel, if p99 - p1 > 1e-3:
+      (x - p1) / (p99 - p1) (normalize99, linear-interpolated
+      percentiles); else the channel is zeroed.
+    """
+    x = x.astype(np.float32)
+    if x.shape[-1] > nchan:
+        x = x[..., :nchan]
+    if x.shape[-1] < nchan:
+        pad = np.zeros((*x.shape[:-1], nchan - x.shape[-1]), np.float32)
+        x = np.concatenate([x, pad], axis=-1)
+    out = np.zeros_like(x)
+    for k in range(nchan):
+        i99 = np.percentile(x[..., k], 99)
+        i1 = np.percentile(x[..., k], 1)
+        if i99 - i1 > 1e-3:
+            out[..., k] = (x[..., k] - i1) / (i99 - i1)
+        else:
+            out[..., k] = 0.0
+    return out
+
+
+def timm_preprocess_oracle(crop_u8: np.ndarray, size: int = 480) -> np.ndarray:
+    """The AutoImageProcessor transform for timm/tf_efficientnetv2_l.in21k
+    (Cellpose_GPU_s3fs.py:27,191-194): timm pretrained_cfg test transform =
+    Resize(size/crop_pct=480, bicubic) + CenterCrop(480) + ToTensor +
+    Normalize(mean=0.5, std=0.5). For the pipeline's square uint8 RGB
+    crops this is a straight PIL bicubic resize to (480, 480) then
+    (x/255 - 0.5) / 0.5. Returns (size, size, 3) float32."""
+    from PIL import Image
+
+    im = Image.fromarray(crop_u8, mode="RGB").resize(
+        (size, size), resample=Image.Resampling.BICUBIC
+    )
+    arr = np.asarray(im).astype(np.float32) / 255.0
+    return (arr - 0.5) / 0.5
