@@ -46,7 +46,7 @@ def main():
     from saguaro_tpu.kernels.onehot_reduce import onehot_counts
     from saguaro_tpu.kernels.segment_reduce import _flat, segment_stats
     from saguaro_tpu.kernels.shape_extra import (
-        _chamfer_distance,
+        _label_edt,
         convex_features,
         radius_features,
     )
@@ -204,7 +204,7 @@ def main():
     # ---- convex / radius decomposition (one object set) ----
     rec("convex", lambda l: vm(lambda li: convex_features(li, CELLS, 72))(l), labs)
     rec("radius", lambda l: vm(lambda li: radius_features(li, CELLS, 48))(l), labs)
-    rec("radius_chamfer_only", lambda l: vm(lambda li: _chamfer_distance(li, 48))(l), labs)
+    rec("radius_edt_only", lambda l: vm(lambda li: _label_edt(li, 48))(l), labs)
 
 
 if __name__ == "__main__":

@@ -33,61 +33,118 @@ import numpy as np
 
 __all__ = ["radius_features", "convex_features"]
 
-_SQRT2 = 1.4142135623730951
+_FINE = 64  # fine-histogram width of the exact-median hierarchy
 
 
-def _shifted(a: jax.Array, dy: int, dx: int, fill) -> jax.Array:
-    return jnp.roll(jnp.pad(a, 1, constant_values=fill), (dy, dx), axis=(0, 1))[
-        1:-1, 1:-1
-    ]
+def _axis_dist_last(lab2: jax.Array) -> jax.Array:
+    """1D label-aware distance along the LAST axis: for every pixel, the
+    distance to the nearest pixel in its row (of the last axis) whose
+    label differs. No site beyond the array border (scipy EDT semantics:
+    distance_transform_edt never leaves the array). Exact, via two
+    label-change scans (cummax/cummin) — no sorting, no scatters."""
+    n = lab2.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    change = jnp.concatenate(
+        [
+            jnp.zeros(lab2.shape[:-1] + (1,), bool),
+            lab2[..., 1:] != lab2[..., :-1],
+        ],
+        axis=-1,
+    )
+    # nearest change at-or-before i -> different pixel at (change-1)
+    last = jax.lax.cummax(jnp.where(change, idx, -big), axis=lab2.ndim - 1)
+    d_before = idx - last + 1.0
+    # nearest change strictly after i -> different pixel at that index
+    first = jax.lax.cummin(
+        jnp.where(change, idx, big), axis=lab2.ndim - 1, reverse=True
+    )
+    first_after = jnp.concatenate(
+        [first[..., 1:], jnp.full(lab2.shape[:-1] + (1,), big)], axis=-1
+    )
+    d_after = first_after - idx
+    return jnp.minimum(jnp.minimum(d_before, d_after), big)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _chamfer_distance(labels: jax.Array, max_iters: int) -> jax.Array:
-    """Distance of each object pixel to the nearest pixel with a
-    DIFFERENT label (background or neighbor object), chamfer (1, sqrt2)."""
+@partial(jax.jit, static_argnames=("max_radius",))
+def _label_edt_sq(labels: jax.Array, max_radius: int) -> jax.Array:
+    """EXACT squared Euclidean distance of each object pixel to the
+    nearest pixel with a DIFFERENT label (background or touching
+    neighbor) — scipy.ndimage.distance_transform_edt per isolated object
+    mask, all objects at once (VERDICT r2 item 5; replaces the chamfer
+    approximation, <4% error).
+
+    Decomposition: with gcol/grow the label-aware 1D vertical/horizontal
+    distances, d2(p) = min(grow(p)^2, min_{|dx|<=R} dx^2 + gcol(p_row,
+    px+dx)^2) is exact — a same-label column pixel r contributes its true
+    vertical distance (gcol w.r.t. the shared label), and a different-
+    label column's candidates are all >= grow(p)^2 which is itself a
+    valid achieved distance, so they never drag the min below truth.
+    ``max_radius`` bounds the horizontal sweep: exact whenever the
+    nearest outside pixel is within R columns (larger objects saturate,
+    as the chamfer relaxation depth did before).
+
+    The sweep is 2R+1 shifted VPU min-adds — XLA-friendly static slices,
+    vmappable over the site batch; no per-object loops.
+    """
     lab = labels.astype(jnp.int32)
-    big = jnp.float32(3.4e38)
-    shifts = [
-        (-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
-        (-1, -1, _SQRT2), (-1, 1, _SQRT2), (1, -1, _SQRT2), (1, 1, _SQRT2),
-    ]
-    dist0 = jnp.where(lab > 0, big, 0.0)
+    h, w = lab.shape
+    big2 = jnp.float32(3.0e38)
+    gcol = _axis_dist_last(lab.T).T
+    grow = _axis_dist_last(lab)
+    v2 = gcol * gcol
+    d2 = jnp.minimum(grow * grow, v2)
+    v2p = jnp.pad(v2, ((0, 0), (max_radius, max_radius)), constant_values=big2)
+    for dx in range(1, max_radius + 1):
+        cand = (
+            jnp.minimum(
+                jax.lax.slice_in_dim(v2p, max_radius - dx, max_radius - dx + w, axis=1),
+                jax.lax.slice_in_dim(v2p, max_radius + dx, max_radius + dx + w, axis=1),
+            )
+            + jnp.float32(dx * dx)
+        )
+        d2 = jnp.minimum(d2, cand)
+    return jnp.where(lab > 0, d2, 0.0)
 
-    def step(_, dist):
-        best = dist
-        for dy, dx, w in shifts:
-            n_lab = _shifted(lab, dy, dx, 0)
-            n_dist = _shifted(dist, dy, dx, 0.0)
-            cand = jnp.where(n_lab == lab, n_dist, 0.0) + w
-            best = jnp.minimum(best, cand)
-        return jnp.where(lab > 0, best, 0.0)
 
-    return jax.lax.fori_loop(0, max_iters, step, dist0)
+def _label_edt(labels: jax.Array, max_radius: int) -> jax.Array:
+    """Exact per-object EDT (see _label_edt_sq); returns distances."""
+    return jnp.sqrt(_label_edt_sq(labels, max_radius))
 
 
 @partial(jax.jit, static_argnames=("max_cells", "max_radius"))
 def radius_features(
     labels: jax.Array, max_cells: int = 1024, max_radius: int = 48
 ):
-    """CP AreaShape MeanRadius / MedianRadius.
+    """CP AreaShape MeanRadius / MedianRadius / MaximumRadius — exact.
 
-    ``max_radius`` bounds the relaxation depth (px); radii saturate there.
-    Median uses 0.5 px histogram bins (value = bin center).
+    Distances come from the exact label-aware EDT (_label_edt_sq);
+    MedianRadius is the exact np.median order statistic (incl. even-count
+    averaging), recovered from the integer squared distances with a
+    hierarchical histogram: squared EDT values on a grid are integers, so
+    a coarse (d2 >> 6) one-hot count locates each object's two middle
+    ranks' coarse bins, and one fine (d2 & 63) count conditioned on those
+    bins pins the exact values — two MXU histogram scans instead of a
+    per-object sort. ``max_radius`` bounds the EDT sweep; radii beyond it
+    saturate (documented in docs/PARITY.md).
     """
-    from saguaro_tpu.kernels.onehot_reduce import onehot_counts, segment_matmul_sums
+    from saguaro_tpu.kernels.onehot_reduce import (
+        mxu_take,
+        onehot_counts,
+        segment_matmul_sums,
+    )
 
     lab = labels.astype(jnp.int32)
-    dist = _chamfer_distance(lab, max_radius)
+    d2_img = _label_edt_sq(lab, max_radius)
     flat = lab.reshape(-1)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside_m = flat > 0
     inside = inside_m.astype(jnp.float32)
-    d = dist.reshape(-1)
+    d2 = d2_img.reshape(-1)
+    d = jnp.sqrt(d2)
 
-    # count + distance sum as one 2-lane matmul scan, the radius
-    # histogram as a one-hot count — full-size scalar/keyed scatters
-    # cost ~82 ms each on TPU (profiled)
+    # count + distance sum as one 2-lane matmul scan (full-size scalar
+    # scatters cost ~82 ms each on TPU, profiled)
     sums = segment_matmul_sums(
         seg, jnp.stack([inside, d * inside], axis=1), max_cells
     )
@@ -97,13 +154,39 @@ def radius_features(
         jnp.where(inside_m, d, -1.0), seg, num_segments=max_cells
     )
 
-    nbins = 2 * max_radius
-    b = jnp.clip((d * 2.0).astype(jnp.int32), 0, nbins - 1)
-    (hist,) = onehot_counts(seg, [(b, inside_m, nbins)], max_cells)
-    cum = jnp.cumsum(hist, axis=1)
-    half = cnt / 2.0
-    median_bin = jnp.argmax(cum >= half[:, None], axis=1)
-    median = (median_bin.astype(jnp.float32) + 0.5) / 2.0
+    # ---- exact median: hierarchical integer-d2 histogram ----
+    n_coarse = (2 * max_radius * max_radius) // _FINE + 2
+    cap = n_coarse * _FINE - 1
+    d2i = jnp.minimum(d2, jnp.float32(cap)).astype(jnp.int32)
+    c_code = d2i // _FINE
+    f_code = d2i % _FINE
+    (coarse,) = onehot_counts(seg, [(c_code, inside_m, n_coarse)], max_cells)
+    cum = jnp.cumsum(coarse, axis=1)
+    # np.median ranks (1-indexed): lo = floor((n+1)/2), hi = floor(n/2)+1
+    lo_rank = jnp.floor((cnt + 1.0) / 2.0)
+    hi_rank = jnp.floor(cnt / 2.0) + 1.0
+    lo_bin = jnp.argmax(cum >= lo_rank[:, None], axis=1)
+    hi_bin = jnp.argmax(cum >= hi_rank[:, None], axis=1)
+    cum_before = cum - coarse
+    take1 = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+    lo_before = take1(cum_before, lo_bin)
+    hi_before = take1(cum_before, hi_bin)
+    # per-pixel gather of its object's median coarse bins (MXU take scan)
+    bins_px = mxu_take(
+        jnp.stack([lo_bin, hi_bin], axis=1).astype(jnp.float32), seg, max_cells
+    )
+    in_lo = inside_m & (c_code == bins_px[:, 0].astype(jnp.int32))
+    in_hi = inside_m & (c_code == bins_px[:, 1].astype(jnp.int32))
+    fine_lo, fine_hi = onehot_counts(
+        seg, [(f_code, in_lo, _FINE), (f_code, in_hi, _FINE)], max_cells
+    )
+    cum_lo = jnp.cumsum(fine_lo, axis=1)
+    cum_hi = jnp.cumsum(fine_hi, axis=1)
+    f_lo = jnp.argmax(cum_lo >= (lo_rank - lo_before)[:, None], axis=1)
+    f_hi = jnp.argmax(cum_hi >= (hi_rank - hi_before)[:, None], axis=1)
+    med_lo = jnp.sqrt((lo_bin * _FINE + f_lo).astype(jnp.float32))
+    med_hi = jnp.sqrt((hi_bin * _FINE + f_hi).astype(jnp.float32))
+    median = (med_lo + med_hi) / 2.0
 
     zero = cnt <= 0
     return {
