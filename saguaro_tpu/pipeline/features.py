@@ -62,10 +62,12 @@ class FeatureConfig:
     glcm_levels: int = 16
     texture_scale: int = 3
     # IdentifySecondaryObjects: 'propagation' = CP's cost-based label race
-    # (kernels/morphology.propagate_labels); 'distance' = plain dilation
+    # (kernels/morphology.propagate_labels); 'distance' = plain dilation.
+    # iterations=None runs propagation TO CONVERGENCE (CP semantics); an
+    # int bounds the growth radius in px (tests / speed-sensitive paths)
     secondary_method: str = "propagation"
     secondary_regularization: float = 0.05
-    secondary_iterations: int = 24
+    secondary_iterations: int | None = None
     granularity_length: int = 16
     measure_texture: bool = True
     measure_quantiles: bool = True
@@ -130,7 +132,11 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             regularization=cfg.secondary_regularization,
         )
     else:
-        cells = expand_labels(nuclei, body, thr, iterations=cfg.secondary_iterations)
+        # CP's 'distance' flavor dilates a FIXED radius, so None keeps the
+        # historical bound instead of meaning convergence
+        cells = expand_labels(
+            nuclei, body, thr, iterations=cfg.secondary_iterations or 24
+        )
     cyto = tertiary_objects(cells, nuclei)
 
     objects = {"Nuclei": nuclei, "Cells": cells, "Cytoplasm": cyto}
