@@ -29,16 +29,23 @@ def main(argv=None):
                         help="Per-job LoadData key, e.g. 'load_data_{plate}_{time}_illum.csv'.")
     parser.add_argument("--diameter", type=float, default=100.0)
     parser.add_argument("--max_cells", type=int, default=512)
+    parser.add_argument("--devices", type=int, default=None,
+                        help="Mesh size: shard segmentation + measurement batches "
+                        "over this many chips (default: every visible device; "
+                        "1 = single-device).")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from saguaro_tpu.parallel.mesh import default_mesh
     from saguaro_tpu.pipeline.feature_extraction import run_batch_processing
     from saguaro_tpu.pipeline.features import FeatureConfig
     from saguaro_tpu.pipeline.segment_embed import SegmentEmbedConfig, SegmentEmbedEngine
 
+    mesh = default_mesh(args.devices)
     engine = SegmentEmbedEngine(
         SegmentEmbedConfig(channels=list(args.channels), diameter=args.diameter,
-                           max_cells=args.max_cells)
+                           max_cells=args.max_cells),
+        mesh=mesh,
     )
     run_batch_processing(
         bucket_name=args.bucket_name,
@@ -50,6 +57,7 @@ def main(argv=None):
         load_data_key_for_job=lambda p, t: args.load_data_template.format(plate=p, time=t),
         segmenter=engine,  # exposes segment_batch: chunks segment as ONE program
         feature_cfg=FeatureConfig(channels=tuple(args.channels), max_cells=args.max_cells),
+        mesh=mesh,
     )
 
 

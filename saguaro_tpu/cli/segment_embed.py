@@ -43,6 +43,12 @@ def main(argv=None):
                         help="saguaro_tpu EfficientNetV2 checkpoint.")
     parser.add_argument("--spill_dir", type=str, default=None,
                         help="Per-site npz spill + manifest for resumable runs.")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="Mesh size: shard site batches over this many chips "
+                        "(default: every visible device; 1 = single-device). The "
+                        "reference pins one consumer per GPU at its entry point "
+                        "(Cellpose_GPU_s3fs.py:288-296); here one controller "
+                        "drives the whole slice.")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -78,6 +84,7 @@ def main(argv=None):
         xgb_model_path=args.xgb_model_path,
         cellpose_checkpoint=args.cellpose_checkpoint,
         effnet_checkpoint=args.effnet_checkpoint,
+        devices=args.devices,
     )
     outputs = run_pipeline(
         load_data, args.data_base_path, cfg, args.out_data_path,

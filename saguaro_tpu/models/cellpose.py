@@ -201,6 +201,41 @@ def _taper(tile: int) -> np.ndarray:
     return (ramp[:, None] * ramp[None, :]).astype(np.float32)
 
 
+def convert_input(images: jax.Array, nchan: int = 2) -> jax.Array:
+    """Transcription of cellpose's default channel selection.
+
+    The reference calls ``cell_model.eval(image_4ch, diameter=100)`` with
+    NO channels argument (Cellpose_GPU_s3fs.py:143), so cellpose's
+    ``transforms.convert_image(x, channels=None, nchan=2)`` applies its
+    default: channels already last (``move_min_dim`` keeps the smallest
+    axis last), and with more planes than the network's ``nchan=2`` it
+    warns "more than 2 channels given ... just using first 2 channels"
+    and slices ``x = x[..., :nchan]``; with fewer it zero-pads up to
+    nchan. No averaging, no channel arithmetic — the net sees the first
+    two raw channels (cellpose transforms.convert_image, channels-is-None
+    branch). Works on (..., H, W, C).
+    """
+    c = images.shape[-1]
+    x = images[..., :nchan].astype(jnp.float32)
+    if c < nchan:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, nchan - c)]
+        x = jnp.pad(x, pad)
+    return x
+
+
+def normalize_input(x: jax.Array, spatial_axes: tuple[int, ...]) -> jax.Array:
+    """Transcription of cellpose ``transforms.normalize_img``: per channel
+    (channel = last axis), ``(x - p1) / (p99 - p1)`` with np.percentile's
+    linear interpolation — unless the channel is flat
+    (``p99 - p1 <= 1e-3``), which cellpose zeroes outright. Cellpose
+    applies this at the ORIGINAL resolution, before the diameter rescale
+    (models._run_cp normalizes, then resizes), so callers must too.
+    """
+    lo = jnp.percentile(x, 1.0, axis=spatial_axes, keepdims=True)
+    hi = jnp.percentile(x, 99.0, axis=spatial_axes, keepdims=True)
+    return jnp.where(hi - lo > 1e-3, (x - lo) / jnp.maximum(hi - lo, 1e-6), 0.0)
+
+
 @partial(jax.jit, static_argnames=("apply_fn",))
 def segment_tiles(apply_fn, variables, tiles: jax.Array) -> jax.Array:
     """Run the network over a (N, tile, tile, C) batch of tiles."""
@@ -229,12 +264,10 @@ def _segment_full(apply_fn, variables, image, net_hw, tile, ys, xs, out_hw):
     """
     h1, w1 = net_hw
     c = image.shape[-1]
-    x = jax.image.resize(image.astype(jnp.float32), (h1, w1, c), method="bilinear")
-
-    # normalize channels to [0,1] by 1-99 percentile (cellpose convention)
-    lo = jnp.percentile(x, 1.0, axis=(0, 1), keepdims=True)
-    hi = jnp.percentile(x, 99.0, axis=(0, 1), keepdims=True)
-    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+    # cellpose order: normalize at ORIGINAL resolution, THEN rescale
+    # (models._run_cp: normalize_img -> resize_image)
+    x = normalize_input(image.astype(jnp.float32), spatial_axes=(0, 1))
+    x = jax.image.resize(x, (h1, w1, c), method="bilinear")
 
     hp = max(h1, tile)
     wp = max(w1, tile)
@@ -275,22 +308,20 @@ def _segment_full_batch(
     from for small (rescaled) fields.
 
     With ``n_seg`` set, ``images`` is the RAW multichannel batch (any
-    dtype): the segmentation input (mean of the first n_seg channels +
-    zero nuclear channel) is built on device, so the host ships the raw
-    uint16 data once and nothing else.
+    dtype): the segmentation input is built on device by cellpose's
+    default channel conversion (``convert_input``: first 2 raw channels,
+    zero-padded — the reference's no-channels-arg eval at
+    Cellpose_GPU_s3fs.py:143), so the host ships the raw uint16 data once
+    and nothing else. ``n_seg`` is the network channel count (2).
     """
     b = images.shape[0]
     h1, w1 = net_hw
     if n_seg is not None:
-        primary = jnp.mean(images[..., :n_seg].astype(jnp.float32), axis=-1, keepdims=True)
-        images = jnp.concatenate([primary, jnp.zeros_like(primary)], axis=-1)
+        images = convert_input(images, nchan=n_seg)
     c = images.shape[-1]
-    x = jax.image.resize(
-        images.astype(jnp.float32), (b, h1, w1, c), method="bilinear"
-    )
-    lo = jnp.percentile(x, 1.0, axis=(1, 2), keepdims=True)
-    hi = jnp.percentile(x, 99.0, axis=(1, 2), keepdims=True)
-    x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+    # cellpose order: normalize at ORIGINAL resolution, THEN rescale
+    x = normalize_input(images.astype(jnp.float32), spatial_axes=(1, 2))
+    x = jax.image.resize(x, (b, h1, w1, c), method="bilinear")
 
     hp, wp = max(h1, tile), max(w1, tile)
     x = jnp.pad(x, ((0, 0), (0, hp - h1), (0, wp - w1), (0, 0)))

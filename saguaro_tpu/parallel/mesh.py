@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "default_mesh",
     "batch_sharding",
     "shard_batch",
     "replicate",
@@ -41,6 +42,23 @@ def make_mesh(
     data = data or (n // model)
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh | None:
+    """Production default: a data-parallel mesh over all visible devices,
+    or ``None`` on a single device.
+
+    The reference wires its multi-device placement into the entry point
+    (one consumer process per GPU via CUDA_VISIBLE_DEVICES round-robin,
+    Cellpose_GPU_s3fs.py:288-296); the TPU-native equivalent is one
+    controller sharding site batches over every chip of the slice, so a
+    v5e-8 run uses 8 chips without any flag. ``n_devices`` (e.g. a CLI
+    ``--devices``) overrides the auto count; 1 forces single-device.
+    """
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if n <= 1:
+        return None
+    return make_mesh(n)
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -208,7 +208,7 @@ def run_batch_processing(
     segmenter,
     feature_cfg: FeatureConfig | None = None,
     resume: bool = True,
-    mesh=None,
+    mesh="auto",
 ) -> dict[tuple[str, str], dict[str, str]]:
     """Walk the (plate x time) job grid — the fleet orchestrator's role
     (Feature_extraction_opt.py:73-145) without EC2/SSM: jobs run on the
@@ -222,9 +222,21 @@ def run_batch_processing(
     ``image_path_for_job(plate, time)`` and
     ``load_data_key_for_job(plate, time)`` encode the project's path
     conventions (the reference hardcodes them at :153-156).
+
+    ``mesh="auto"`` (default) builds a data-parallel mesh over all
+    visible devices; pass an explicit Mesh or ``None`` to override.
     """
     from saguaro_tpu.parallel.distributed import partition_jobs
     from saguaro_tpu.pipeline.manifest import Manifest
+
+    if mesh == "auto":
+        # production default: measurement batches shard over every chip
+        # visible to this host (mesh=None forces single-device)
+        from saguaro_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+        if mesh is not None:
+            logger.info("run_batch_processing: %d-device measurement mesh", mesh.size)
 
     results = {}
     jobs = [(p, t) for p in plates for t in times]

@@ -94,6 +94,8 @@ class SegmentEmbedConfig:
     xgb_model_path: str | None = None
     cellpose_checkpoint: str | None = None   # saguaro_tpu checkpoint paths
     effnet_checkpoint: str | None = None
+    devices: int | None = None         # mesh size for default engines
+                                       # (None = all visible, 1 = no mesh)
     cellpose: CellposeConfig = field(default_factory=CellposeConfig)
     effnet: EffNetV2Config = field(default_factory=lambda: EFFNETV2_L)
 
@@ -177,19 +179,23 @@ class SegmentEmbedEngine:
     # ---------------- per-site device path ----------------
 
     def segment(self, image: np.ndarray) -> np.ndarray:
-        """(H, W, C) -> int32 label mask. Uses the first <=3 channels for
-        segmentation (reference: 'first 3 channels', :141).
+        """(H, W, C) -> int32 label mask.
+
+        The net input is cellpose's default channel conversion — the
+        reference evals with NO channels argument
+        (Cellpose_GPU_s3fs.py:143), so convert_image keeps the first 2
+        raw channels (zero-padded if fewer); see
+        models.cellpose.convert_input for the transcription.
 
         Cellpose parity: the flow dynamics run at the rescaled network
         resolution (diameter -> 30 px) and the label image is upsampled
         nearest back to the input resolution — ~(diameter/30)^2 cheaper
         than integrating at full resolution.
         """
+        from saguaro_tpu.models.cellpose import convert_input
+
         cfg = self.cfg
-        n_seg = min(3, image.shape[-1])
-        seg_in = image[..., :n_seg].astype(np.float32)
-        primary = seg_in.mean(axis=-1, keepdims=True)
-        net_in = np.concatenate([primary, np.zeros_like(primary)], axis=-1)
+        net_in = np.asarray(convert_input(jnp.asarray(image), cfg.cellpose.n_channels))
         flows, cellprob, _ = segment_image(
             self.cell_model.apply,
             self.cell_vars,
@@ -289,13 +295,26 @@ class SegmentEmbedEngine:
         or a numpy batch of any dtype.
         """
         cfg = self.cfg
+        b_real = len(images)
         if self.mesh is not None:
             from saguaro_tpu.parallel.mesh import shard_batch
 
+            # pad a partial bucket (e.g. the run's final flush) to a
+            # multiple of the data axis so the batch still shards evenly;
+            # padded blank sites yield zero labels and are dropped below
+            images = jnp.asarray(images)
+            n_data = self.mesh.shape["data"]
+            pad = (-b_real) % n_data
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
             images = shard_batch(images, self.mesh)
         else:
             images = jnp.asarray(images)
-        n_seg = min(3, images.shape[-1])
+        # net input = cellpose default conversion (first n_channels raw
+        # planes, built on device; see segment()'s docstring)
+        n_seg = cfg.cellpose.n_channels
         # flows/cellprob STAY on device — the mask-recovery program and the
         # flow-error QC consume them in place; fetching them only to
         # re-upload costs ~20 MB/batch through this environment's relay
@@ -326,6 +345,7 @@ class SegmentEmbedEngine:
             labels_low = self._drop_bad_flow_masks_batch(labels_low, flows / 5.0)
         if cfg.fill_holes:
             labels_low = [fill_label_holes(np.asarray(l)) for l in labels_low]
+        labels_low = labels_low[:b_real]  # drop mesh-padding blanks
         if (h1, w1) == (h0, w0):
             return labels_low
         up = jax.image.resize(
@@ -625,7 +645,16 @@ def run_pipeline(
         if idx not in results
     ]
     n_ch = len(cfg.channels)
-    engine = engine or SegmentEmbedEngine(cfg)
+    if engine is None:
+        # production default: shard site batches over every visible chip
+        # (the reference's per-GPU consumer placement, wired into ITS
+        # entry point at Cellpose_GPU_s3fs.py:288-296, done mesh-style)
+        from saguaro_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh(cfg.devices)
+        if mesh is not None:
+            logger.info("run_pipeline: sharding site batches over %d devices", mesh.size)
+        engine = SegmentEmbedEngine(cfg, mesh=mesh)
 
     from saguaro_tpu.utils.timing import StageTimer
 
