@@ -39,7 +39,7 @@ from saguaro_tpu.kernels.objects_extra import (
 )
 from saguaro_tpu.kernels.morphology import (
     expand_labels,
-    granularity_spectrum,
+    granularity_spectrum_cp,
     propagate_labels,
     tertiary_objects,
 )
@@ -69,6 +69,10 @@ class FeatureConfig:
     secondary_regularization: float = 0.05
     secondary_iterations: int | None = None
     granularity_length: int = 16
+    # CP MeasureGranularity module defaults (measureimagegranularity.py)
+    granularity_subsample: float = 0.25
+    granularity_bg_sample: float = 0.25
+    granularity_element_size: int = 10
     measure_texture: bool = True
     measure_quantiles: bool = True
     measure_edge: bool = True
@@ -277,7 +281,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
 
     for c in range(n_ch):
         ch_name = cfg.channels[c]
-        gran = granularity_spectrum(image[..., c], cfg.granularity_length)
+        gran = granularity_spectrum_cp(
+            image[..., c], cfg.granularity_length,
+            subsample_size=cfg.granularity_subsample,
+            image_sample_size=cfg.granularity_bg_sample,
+            element_size=cfg.granularity_element_size,
+        )
         out["image"][f"Granularity_{ch_name}"] = gran
         out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(image[..., c])
         out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(image[..., c])
@@ -322,10 +331,35 @@ def _result_spec(img_shape, lab_shape, cfg, batched: bool):
     return _SPEC_CACHE[key]
 
 
-@partial(jax.jit, static_argnames=("cfg", "batched"))
-def _measure_flat(images: jax.Array, nuclei: jax.Array, cfg: FeatureConfig, batched: bool):
+@partial(jax.jit, static_argnames=("cfg", "batched", "mesh"))
+def _measure_flat(
+    images: jax.Array, nuclei: jax.Array, cfg: FeatureConfig, batched: bool, mesh=None
+):
     fn = _measure_all_batch if batched else _measure_all
-    res = fn(images, nuclei, cfg)
+    if mesh is not None and batched:
+        # Measurement is embarrassingly parallel over sites, so partition
+        # at the PROGRAM level: shard_map runs the full per-site program
+        # locally on each device — no collectives inside the data-
+        # dependent while_loops (propagation-to-convergence, granularity
+        # reconstruction). Letting the auto-SPMD partitioner shard the
+        # batch instead inserts an all-reduce into every loop COND, and
+        # XLA:CPU's in-process rendezvous deadlocks when devices reach
+        # different collectives (observed: half the mesh at the loop
+        # all-reduce, half at the result all-gather -> SIGABRT after the
+        # 40 s termination timeout). The only collective left is the
+        # uniform result gather after the loops.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        res = shard_map(
+            lambda im, lb: fn(im, lb, cfg),
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+            check_rep=False,
+        )(images, nuclei)
+    else:
+        res = fn(images, nuclei, cfg)
     leaves = jax.tree_util.tree_leaves(res)
     return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
 
@@ -344,8 +378,10 @@ def _measure_fetch(images, nuclei, cfg, batched: bool, mesh=None):
 
         images = shard_batch(images, mesh)
         nuclei = shard_batch(nuclei, mesh)
+    else:
+        mesh = None
     treedef, leaf_specs = _result_spec(images.shape, nuclei.shape, cfg, batched)
-    flat = np.asarray(_measure_flat(images, nuclei, cfg, batched))
+    flat = np.asarray(_measure_flat(images, nuclei, cfg, batched, mesh))
     leaves, off = [], 0
     for shape, dtype in leaf_specs:
         n = int(np.prod(shape)) if shape else 1
@@ -372,8 +408,10 @@ def measure_site_batch_dispatch(
 
         images = shard_batch(images, mesh)
         nuclei = shard_batch(nuclei, mesh)
+    else:
+        mesh = None
     treedef, leaf_specs = _result_spec(images.shape, nuclei.shape, cfg, True)
-    flat_dev = _measure_flat(images, nuclei, cfg, True)
+    flat_dev = _measure_flat(images, nuclei, cfg, True, mesh)
     return (flat_dev, treedef, leaf_specs, len(images))
 
 

@@ -270,3 +270,83 @@ def timm_preprocess_oracle(crop_u8: np.ndarray, size: int = 480) -> np.ndarray:
     )
     arr = np.asarray(im).astype(np.float32) / 255.0
     return (arr - 0.5) / 0.5
+
+
+def cp_granularity_oracle(
+    image: np.ndarray,
+    length: int = 16,
+    subsample_size: float = 0.25,
+    image_sample_size: float = 0.25,
+    element_size: int = 10,
+) -> np.ndarray:
+    """Transcription of CP 4.2.8 MeasureGranularity
+    (cellprofiler/modules/measureimagegranularity.py, full-image mask):
+    map_coordinates(order=1) subsample at coords i/subsample; background
+    open (erosion+dilation, skimage disk(element_size)) on a further
+    subsample, upsampled back at i*(back-1)/(new-1); spectrum of
+    disk(1)-cross erosions + grayscale reconstruction to convergence."""
+    import scipy.ndimage as scind
+
+    def disk_offsets(r):
+        return [
+            (dy, dx)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+            if dy * dy + dx * dx <= r * r
+        ]
+
+    def grey(img, r, op):
+        h, w = img.shape
+        out = np.full_like(img, np.inf if op is np.minimum else -np.inf)
+        for dy, dx in disk_offsets(r):
+            ys0, ys1 = max(0, -dy), min(h, h - dy)
+            xs0, xs1 = max(0, -dx), min(w, w - dx)
+            if ys1 <= ys0 or xs1 <= xs0:
+                continue
+            out[ys0:ys1, xs0:xs1] = op(
+                out[ys0:ys1, xs0:xs1], img[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+            )
+        return out
+
+    def reconstruct(seed, ceiling):
+        r = seed.copy()
+        while True:
+            r2 = np.minimum(grey(r, 1, np.maximum), ceiling)
+            if (r2 == r).all():
+                return r
+            r = r2
+
+    pixels = image.astype(np.float64)
+    new_shape = np.array(pixels.shape) * subsample_size
+    i, j = (
+        np.mgrid[0 : new_shape[0], 0 : new_shape[1]].astype(float) / subsample_size
+    )
+    pixels = scind.map_coordinates(pixels, (i, j), order=1)
+
+    back_shape = np.array(pixels.shape) * image_sample_size
+    i, j = (
+        np.mgrid[0 : back_shape[0], 0 : back_shape[1]].astype(float)
+        / image_sample_size
+    )
+    back_pixels = scind.map_coordinates(pixels, (i, j), order=1)
+    back_pixels = grey(back_pixels, element_size, np.minimum)
+    back_pixels = grey(back_pixels, element_size, np.maximum)
+    i, j = np.mgrid[0 : pixels.shape[0], 0 : pixels.shape[1]].astype(float)
+    i *= float(back_pixels.shape[0] - 1) / float(pixels.shape[0] - 1)
+    j *= float(back_pixels.shape[1] - 1) / float(pixels.shape[1] - 1)
+    back_pixels = scind.map_coordinates(back_pixels, (i, j), order=1)
+    pixels = pixels - back_pixels
+    pixels[pixels < 0] = 0
+
+    startmean = np.mean(pixels)
+    denom = max(startmean, np.finfo(float).eps)
+    ero = pixels.copy()
+    prevmean = startmean
+    out = np.zeros(length)
+    for k in range(length):
+        ero = grey(ero, 1, np.minimum)
+        rec = reconstruct(ero, pixels)
+        cur = np.mean(rec)
+        out[k] = (prevmean - cur) * 100.0 / denom
+        prevmean = cur
+    return out

@@ -105,8 +105,11 @@ class TestMeshEngine:
         sharded = measure_site_batch(images, nuclei, cfg, mesh=mesh8)
         for i in range(b):
             for name in ("Image", "Nuclei", "Cells", "Cytoplasm"):
+                # atol 2e-6: sharded mean reductions reorder f32 sums, and
+                # near-zero granularity tail elements are differences of
+                # means (catastrophic cancellation ~1e-6 of the mean)
                 pd.testing.assert_frame_equal(
-                    plain[i][name], sharded[i][name], rtol=1e-5, atol=1e-6
+                    plain[i][name], sharded[i][name], rtol=1e-5, atol=2e-6
                 )
 
     def test_pooled_embed_sharded_matches_per_site(self, mesh8, rng):
