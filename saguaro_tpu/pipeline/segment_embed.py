@@ -40,7 +40,7 @@ import pandas as pd
 
 from saguaro_tpu.io import storage, tiff
 from saguaro_tpu.io.loaddata import filter_qc_passing, site_image_paths
-from saguaro_tpu.kernels.crops import extract_crops
+from saguaro_tpu.kernels.crops import extract_crops, label_centroids
 from saguaro_tpu.kernels.flow_ode import (
     compute_masks,
     compute_masks_batch,
@@ -169,12 +169,35 @@ class SegmentEmbedEngine:
         max_cells, box = cfg.max_cells, cfg.box_size
 
         @jax.jit
-        def _crops_batch(images, labels):
-            return jax.vmap(
-                lambda im, lb: extract_crops(im, lb, max_cells=max_cells, box=box)
-            )(images, labels)
+        def _centroids_batch(labels):
+            return jax.vmap(lambda lb: label_centroids(lb, max_cells))(labels)
 
-        self._crops_batch = _crops_batch
+        self._centroids_batch = _centroids_batch
+
+        half = box // 2
+
+        @jax.jit
+        def _embed_chunk_fused(variables, images, labels, site_i, lab_i, ch_i, cy, cx):
+            """Extract ONE chunk of masked single-channel crops directly
+            from the device-resident site batch and embed it — crop
+            extraction fused into the embed program, so peak memory is
+            O(chunk), never the (sites x max_cells x box^2 x C) pool
+            (which is ~3.3 GB for 8 five-channel sites and OOMs a v5e)."""
+            h, w = images.shape[1:3]
+
+            def one(si, li, ci, y, x):
+                y0 = jnp.clip(y - half, 0, h - box)
+                x0 = jnp.clip(x - half, 0, w - box)
+                img = jax.lax.dynamic_slice(
+                    images, (si, y0, x0, ci), (1, box, box, 1)
+                )[0, :, :, 0]
+                lab = jax.lax.dynamic_slice(labels, (si, y0, x0), (1, box, box))[0]
+                return img * (lab == li).astype(jnp.float32)
+
+            crops = jax.vmap(one)(site_i, lab_i, ch_i, cy, cx)
+            return apply_fn(variables, preprocess_crops(crops, embed_size))
+
+        self._embed_chunk_fused = _embed_chunk_fused
 
     # ---------------- per-site device path ----------------
 
@@ -418,12 +441,16 @@ class SegmentEmbedEngine:
         """Crops + embeddings for a whole same-shape site batch at once.
 
         The TPU replacement for the reference's 1000-crop batched embed
-        (Cellpose_GPU_s3fs.py:184-206): valid crops from EVERY site in the
-        batch are pooled into one device buffer, padded to a static global
-        chunk of ``embed_chunk`` crops PER data-mesh device, sharded over
-        the mesh 'data' axis, and embedded as a handful of identical
-        compiled programs — so a v5e-8 embeds 8*embed_chunk crops per
-        step regardless of how cells are distributed across sites.
+        (Cellpose_GPU_s3fs.py:184-206): valid (cell, channel) crop slots
+        from EVERY site in the batch are pooled into one index list,
+        padded to a static global chunk of ``embed_chunk`` crops PER
+        data-mesh device, sharded over the mesh 'data' axis, and each
+        chunk is extracted (dynamic-slice + mask) AND embedded by one
+        fused program — so a v5e-8 embeds 8*embed_chunk crops per step
+        regardless of how cells are distributed across sites, and peak
+        HBM stays O(chunk) instead of the full
+        (sites x max_cells x box^2 x channels) crop pool (3.3 GB at the
+        5-channel production shape — a v5e OOM).
 
         Returns a list of (features (n_i, C, 1280), coords (n_i, 2)) per
         site, identical to calling embed_site per site.
@@ -431,10 +458,18 @@ class SegmentEmbedEngine:
         cfg = self.cfg
         images = jnp.asarray(images, jnp.float32)
         b, n_ch = images.shape[0], images.shape[-1]
+        h, w = images.shape[1:3]
         labels = jnp.stack([jnp.asarray(l, jnp.int32) for l in labels_list])
-        crops, valid, coords = self._crops_batch(images, labels)
+        cy, cx, cnt = self._centroids_batch(labels)
+        half = cfg.box_size // 2
+        in_bounds = (
+            (cy - half >= 0) & (cy + half <= h) & (cx - half >= 0) & (cx + half <= w)
+        )
+        valid = (cnt > 0) & in_bounds  # (b, max_cells), reference edge rule
         valid_np = np.asarray(valid).reshape(-1)
-        coords_np = np.asarray(coords).reshape(-1, 2)
+        cy_np = np.asarray(cy).reshape(-1)
+        cx_np = np.asarray(cx).reshape(-1)
+        coords_np = np.stack([cy_np, cx_np], axis=-1)
         idx = np.where(valid_np)[0]
         empty = (
             np.zeros((0, n_ch, FEATURE_LENGTH), np.float32),
@@ -443,25 +478,34 @@ class SegmentEmbedEngine:
         if idx.size == 0:
             return [empty] * b
 
-        flat_crops = crops.reshape(b * cfg.max_cells, cfg.box_size, cfg.box_size, n_ch)
-        sel = jnp.take(flat_crops, jnp.asarray(idx), axis=0)
-        flat = jnp.moveaxis(sel, -1, 1).reshape(-1, cfg.box_size, cfg.box_size)
-        n_flat = flat.shape[0]
+        # flat slot order: crop-major, channel-minor (the reference embeds
+        # each cell's channels consecutively, Cellpose_GPU_s3fs.py:177-182)
+        site_i = np.repeat(idx // cfg.max_cells, n_ch).astype(np.int32)
+        lab_i = np.repeat(idx % cfg.max_cells, n_ch).astype(np.int32)
+        ch_i = np.tile(np.arange(n_ch, dtype=np.int32), idx.size)
+        cys = np.repeat(cy_np[idx], n_ch).astype(np.int32)
+        cxs = np.repeat(cx_np[idx], n_ch).astype(np.int32)
+        n_flat = site_i.size
         n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         ck = cfg.embed_chunk * n_data
         n_pad = (-n_flat) % ck
-        if n_pad:
-            flat = jnp.pad(flat, ((0, n_pad), (0, 0), (0, 0)))
+        if n_pad:  # pad with repeats of slot 0 (discarded after the slice)
+            pad = lambda a: np.concatenate([a, np.repeat(a[:1], n_pad)])
+            site_i, lab_i, ch_i, cys, cxs = map(pad, (site_i, lab_i, ch_i, cys, cxs))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(self.mesh, P("data", None, None))
+            sharding = NamedSharding(self.mesh, P("data"))
         chunks = []
         for s in range(0, n_flat + n_pad, ck):
-            chunk = jax.lax.slice_in_dim(flat, s, s + ck, axis=0)
+            args = tuple(
+                jnp.asarray(a[s : s + ck]) for a in (site_i, lab_i, ch_i, cys, cxs)
+            )
             if self.mesh is not None:
-                chunk = jax.device_put(chunk, sharding)
-            chunks.append(self._embed(chunk))
+                args = tuple(jax.device_put(a, sharding) for a in args)
+            chunks.append(
+                self._embed_chunk_fused(self.feat_vars, images, labels, *args)
+            )
         # per-chunk fetches OVERLAP with the next chunk's compute through
         # the relay (dispatch is async); a single packed fetch at the end
         # serializes the 20 MB transfer and measured 20% slower
