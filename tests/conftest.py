@@ -18,7 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# A cache of OUR OWN, never shared with TPU/relay runs: the axon
+# remote-compile relay deposits XLA:CPU AOT artifacts compiled on the
+# REMOTE machine into its dir, and loading those in-process can SIGABRT
+# (cpu_aot_loader "machine type ... doesn't match").
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu_tests"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
