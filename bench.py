@@ -32,19 +32,25 @@ for BENCH.md bookkeeping.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 SIZE = 1080
-N_CH = 2
+# Channel count of the op point. Default 5 = the reference-shaped
+# Cell-Painting run: the reference embeds EVERY channel per cell
+# (Cellpose_GPU_s3fs.py:177-182) and its deployments carry 4-5 channels
+# (README.md channel lists). BENCH_NCH=2 reproduces the historical
+# 2-channel record for comparison (BENCH.md headline table).
+N_CH = int(os.environ.get("BENCH_NCH", "5"))
 SITES_PER_PLATE = 384
 PARITY_PLATES_PER_HOUR_PER_CHIP = 3600.0 / (300.0 * 8.0)  # north star
 
 
 def synthetic_site(rng):
-    """A 1080^2 2-channel field with ~290 bright nuclei + GT labels."""
+    """A 1080^2 N_CH-channel field with ~290 bright nuclei + GT labels."""
     image = rng.integers(80, 120, (SIZE, SIZE, N_CH)).astype(np.uint16)
     labels = np.zeros((SIZE, SIZE), np.int32)
     yy, xx = np.meshgrid(np.arange(SIZE), np.arange(SIZE), indexing="ij")
@@ -55,7 +61,8 @@ def synthetic_site(rng):
             m = (yy - cy) ** 2 + (xx - cx) ** 2 <= 20**2
             labels[m] = k
             image[m, 0] += 2000
-            image[m, 1] += 500
+            for ch in range(1, N_CH):
+                image[m, ch] += 500
     return image, labels, k
 
 
@@ -79,7 +86,8 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     image, labels, n_cells = synthetic_site(rng)
-    cfg = SegmentEmbedConfig(channels=["DNA", "GFP"], diameter=100.0)
+    channel_names = ["DNA", "GFP", "ER", "Mito", "AGP", "RNA"][:N_CH]
+    cfg = SegmentEmbedConfig(channels=channel_names, diameter=100.0)
     engine = SegmentEmbedEngine(cfg, seed=0)
 
     b = cfg.site_batch
@@ -128,6 +136,40 @@ def main() -> None:
                 measure_site_batch_finalize(prev)
             prev = h
         measure_site_batch_finalize(prev)
+
+    if os.environ.get("BENCH_SANITY"):
+        # Integrated sanity (unscored, stderr-only): run embed + measure
+        # on the SEGMENTER'S OWN predicted labels for one batch, so a
+        # shape/dtype drift at the segment->downstream interface cannot
+        # pass the bench silently (VERDICT r2 weak #4).
+        pred = engine.segment_batch(images_dev)
+        if sum(int(np.asarray(l).max()) for l in pred) == 0:
+            # untrained weights find nothing; drive the engine's OWN
+            # mask-recovery program on synthetic flows so the
+            # recovery->embed->measure interface still carries real cells
+            from saguaro_tpu.kernels.flow_ode import (
+                centroid_flows,
+                compute_masks_batch,
+            )
+
+            gt_flows = jnp.stack([jnp.asarray(centroid_flows(labels))] * b) * 5.0
+            gt_prob = jnp.stack(
+                [jnp.asarray((labels > 0).astype(np.float32)) * 10.0 - 5.0] * b
+            )
+            pred = compute_masks_batch(gt_flows, gt_prob)
+        pred_dev = jnp.stack([jnp.asarray(l, jnp.int32) for l in pred])
+        per_site = engine.embed_sites_pooled(images_dev, list(pred_dev))
+        n_pred = [int(np.asarray(l).max()) for l in pred]
+        n_emb = [len(f) for f, _ in per_site]
+        tables = measure_site_batch(images_dev, pred_dev, fcfg)
+        assert len(tables) == b and all(
+            set(t) == {"Image", "Nuclei", "Cells", "Cytoplasm"} for t in tables
+        )
+        print(
+            f"sanity (predicted labels): cells/site={n_pred} embedded={n_emb} "
+            f"nuclei_rows={[len(t['Nuclei']) for t in tables]}",
+            file=sys.stderr,
+        )
 
     ship_s = timed(run_ship, iters=3) / b
     seg_s = timed(run_segment) / b
