@@ -73,13 +73,14 @@ class SegmentEmbedConfig:
     diameter: float = 100.0            # reference eval setting (:143)
     box_size: int = 200                # crop box (:30)
     max_cells: int = 512               # static per-site cell bound
-    embed_chunk: int = 64              # crops per embedding device program
-                                       # (64 beats 128/256 in production: smaller
-                                       # chunks overlap per-chunk fetches with the
-                                       # next chunk's compute through the relay;
-                                       # the sync-fetch sweep favoring 128 was
-                                       # misleading — bench.py embed s/site is
-                                       # the deciding measurement)
+    embed_chunk: int = 128             # crops per embedding device program.
+                                       # Measured at the 5-ch production shape
+                                       # with extraction fused into the chunk
+                                       # program: 128 -> 1.52 s/site vs 64 ->
+                                       # 1.76 and 256 -> 1.75 (bigger chunks
+                                       # amortize dispatch until the per-chunk
+                                       # result fetch stops overlapping compute
+                                       # through the relay)
     embed_size: int = 480              # model input resolution
     cellprob_threshold: float = 0.0
     flow_iters: int = 200
