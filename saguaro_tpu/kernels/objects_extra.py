@@ -4,13 +4,17 @@ distribution, neighbors — the remaining CP measurement families
 
 All computed as segment reductions with static bounds:
 
-* quantile intensities (Median/MAD/quartiles): per-object 256-bin
-  histograms + CDF interpolation — bin-resolution approximation of CP's
-  exact order statistics. Histograms are one-hot MXU matmuls
-  (``onehot_reduce.onehot_counts``): measured 0.125 vs 0.164 s/site for
-  the keyed-scatter form (benchmarks/bench_family_variants.py), and the
-  multichannel variant fuses all channels' bins against ONE label
-  one-hot per pass;
+* quantile intensities (Median/MAD/quartiles): EXACT per-object order
+  statistics on the integer (uint16) intensity grid via two-level
+  256x256 histograms — level 1 bins ``v >> 8``, a second masked pass
+  bins ``v & 255`` inside each object's selected coarse bin, so rank
+  lookups resolve to the exact integer value (the same hierarchical
+  trick ``shape_extra.radius_features`` uses for MedianRadius).
+  Histograms are one-hot MXU matmuls (``onehot_reduce.onehot_counts``:
+  keyed scatters measured 0.125 vs 0.164 s/site), and all channels +
+  rank queries contract against ONE label one-hot per pass. Float
+  (non-integer) images fall back to the 256-bin CDF interpolation
+  (``integer_grid=False``);
 * edge intensities: segment stats restricted to boundary pixels;
 * radial distribution (FracAtD/MeanFrac per ring): normalized centroid
   distance binned into rings, one segment-sum per statistic;
@@ -41,12 +45,12 @@ __all__ = [
 _NBINS = 256
 
 
-@partial(jax.jit, static_argnames=("max_cells",))
+@partial(jax.jit, static_argnames=("max_cells", "integer_grid"))
 def quantile_intensity_features(
-    image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None
+    image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None,
+    integer_grid: bool = True,
 ):
-    """Median/MAD/LowerQuartile/UpperQuartile intensity per object via
-    per-object histograms (256 bins over the object's own range).
+    """Median/MAD/LowerQuartile/UpperQuartile intensity per object.
 
     ``stats``: optional precomputed (cnt, vmin, vmax) — e.g. from
     kernels/fused_measure — skipping this kernel's own segment_stats
@@ -56,26 +60,158 @@ def quantile_intensity_features(
         labels,
         max_cells,
         stats=None if stats is None else (stats[0], stats[1][:, None], stats[2][:, None]),
+        integer_grid=integer_grid,
     )
     return {k: v[:, 0] for k, v in mc.items()}
 
 
-@partial(jax.jit, static_argnames=("max_cells",))
+def _rank_positions(n: jax.Array):
+    """CP MeasureObjectIntensity rank semantics on a sorted object
+    (0-based). n: (max_cells,) int32 pixel counts.
+
+    Returns (k_med, j25, f25, j75, f75): the median is the LOWER middle
+    order statistic ``(n + 1) // 2 - 1`` (CP does not average the two
+    middles), and the quartiles interpolate linearly at position
+    ``(n - 1) * q`` between order statistics j and j+1 (numpy
+    ``percentile`` convention — CP's documented "value below which 25%
+    of the object's pixels lie")."""
+    n_f = jnp.maximum(n, 1).astype(jnp.float32)
+    k_med = jnp.maximum((n + 1) // 2 - 1, 0)
+    pos25 = (n_f - 1.0) * 0.25
+    pos75 = (n_f - 1.0) * 0.75
+    j25 = jnp.floor(pos25).astype(jnp.int32)
+    j75 = jnp.floor(pos75).astype(jnp.int32)
+    return k_med, j25, pos25 - j25, j75, pos75 - j75
+
+
+def _rank_to_coarse(cum1: jax.Array, rank: jax.Array):
+    """cum1: (max_cells, 256, C) cumulative level-1 counts; rank
+    (max_cells,) 0-based. Returns (coarse bin (max_cells, C), rank
+    remaining within that bin)."""
+    r = rank[:, None, None].astype(jnp.float32)
+    sel = jnp.argmax(cum1 > r, axis=1).astype(jnp.int32)       # (max_cells, C)
+    below = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros_like(cum1[:, :1]), cum1], axis=1),
+        sel[:, None, :], axis=1,
+    )[:, 0, :]                                                  # counts < sel bin
+    return sel, rank[:, None].astype(jnp.float32) - below
+
+
+@partial(jax.jit, static_argnames=("max_cells", "integer_grid"))
 def quantile_intensity_features_mc(
     image: jax.Array, labels: jax.Array, max_cells: int = 1024, stats=None,
-    ranges=None,
+    ranges=None, integer_grid: bool = True,
 ):
     """Multichannel quantile intensities: (H, W, C) image -> dict of
-    (max_cells, C). All channels' per-object histograms contract against
-    ONE label one-hot per pixel chunk (two passes total: value bins, then
-    |v - median| bins for MAD) — the label one-hot is the dominant HBM
-    traffic, so fusing channels is nearly free.
+    (max_cells, C), EXACT on the integer intensity grid.
+
+    Rank lookups run on two-level 256x256 histograms: a level-1 pass
+    bins ``v >> 8``; the object's coarse bin for each rank query is
+    selected from the level-1 CDF; a second masked pass bins ``v & 255``
+    only for pixels inside that coarse bin, so the rank resolves to the
+    exact integer intensity. All channels x rank queries share ONE label
+    one-hot per pixel chunk (onehot_counts) — the label one-hot is the
+    dominant HBM traffic, so extra histogram columns are near-free.
+
+    Semantics (CP 4.2.8 MeasureObjectIntensity): median = lower-middle
+    order statistic; quartiles = linear interpolation at ``(n-1)q``
+    (see ``_rank_positions``); MAD = order statistic at the median index
+    of ``|v - median|`` (an integer whenever v is).
 
     ``stats``: optional precomputed (cnt (max_cells,), vmin, vmax
-    (max_cells, C)) from kernels/fused_measure.
+    (max_cells, C)) from kernels/fused_measure (only cnt is consumed on
+    the integer path).
     ``ranges``: optional pregathered per-pixel (pmin, prange) each
-    (N, C) — shared with GLCM quantization, skipping this kernel's own
-    range-lookup scan (requires ``stats``)."""
+    (N, C) — used only by the ``integer_grid=False`` fallback (shared
+    with GLCM quantization).
+    ``integer_grid=False``: 256-bin CDF-interpolation approximation for
+    images whose values do not sit on an integer grid."""
+    if not integer_grid:
+        return _quantile_binned_mc(image, labels, max_cells, stats, ranges)
+    n_ch = image.shape[-1]
+    flat = labels.reshape(-1).astype(jnp.int32)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
+    inside = (labels > 0).reshape(-1)
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    vi = jnp.clip(
+        jnp.round(image.reshape(-1, n_ch).astype(jnp.float32)), 0.0, 65535.0
+    ).astype(jnp.int32)                               # (N, C) integer grid
+    hi8 = vi >> 8
+    lo8 = vi & 255
+
+    if stats is None:
+        cnt = jax.ops.segment_sum(
+            inside.astype(jnp.float32), seg, num_segments=max_cells
+        )
+    else:
+        cnt = stats[0]
+    n = jnp.round(cnt).astype(jnp.int32)              # (max_cells,)
+    k_med, j25, f25, j75, f75 = _rank_positions(n)
+    nm1 = jnp.maximum(n - 1, 0)
+
+    def two_level(hi_col, lo_col, ranks):
+        """Exact order statistics for one integer column set.
+
+        hi_col/lo_col: (N, C) level-1/level-2 bin codes; ranks: list of
+        (max_cells,) int32 0-based ranks. One level-1 onehot pass + ONE
+        fused masked level-2 pass for every (rank, channel) pair.
+        Returns [(max_cells, C) integer values as f32, ...] per rank."""
+        h1 = onehot_counts(
+            seg, [(hi_col[:, c], inside, 256) for c in range(n_ch)], max_cells
+        )
+        cum1 = jnp.cumsum(jnp.stack(h1, axis=-1), axis=1)  # (max_cells, 256, C)
+        sels, rems = [], []
+        for r in ranks:
+            s, rem = _rank_to_coarse(cum1, jnp.clip(r, 0, nm1))
+            sels.append(s)
+            rems.append(rem)
+        # one fused per-pixel lookup of every query's selected coarse bin
+        sel_tab = jnp.concatenate(sels, axis=1).astype(jnp.float32)
+        p_sel = jnp.round(mxu_take(sel_tab, seg, max_cells)).astype(jnp.int32)
+        codes = []
+        for qi in range(len(ranks)):
+            for c in range(n_ch):
+                m = inside & (hi_col[:, c] == p_sel[:, qi * n_ch + c])
+                codes.append((lo_col[:, c], m, 256))
+        h2 = onehot_counts(seg, codes, max_cells)
+        out = []
+        for qi, (s, rem) in enumerate(zip(sels, rems)):
+            cum2 = jnp.cumsum(
+                jnp.stack(h2[qi * n_ch : (qi + 1) * n_ch], axis=-1), axis=1
+            )
+            fine = jnp.argmax(cum2 > rem[:, None, :], axis=1)  # (max_cells, C)
+            out.append((s * 256 + fine).astype(jnp.float32))
+        return out
+
+    v_med, v25lo, v25hi, v75lo, v75hi = two_level(
+        hi8, lo8, [k_med, j25, jnp.minimum(j25 + 1, nm1), j75, jnp.minimum(j75 + 1, nm1)]
+    )
+    lo = v25lo * (1.0 - f25[:, None]) + v25hi * f25[:, None]
+    hi = v75lo * (1.0 - f75[:, None]) + v75hi * f75[:, None]
+
+    # MAD: order statistic at the median index of |v - median| — integer
+    # deviations, same two-level machinery
+    pmed = jnp.round(mxu_take(v_med, seg, max_cells)).astype(jnp.int32)
+    dev = jnp.abs(vi - pmed)
+    (mad,) = two_level(dev >> 8, dev & 255, [k_med])
+
+    zero = (n <= 0)[:, None]
+    z = lambda a: jnp.where(zero, 0.0, a)
+    return {
+        "MedianIntensity": z(v_med),
+        "MADIntensity": z(mad),
+        "LowerQuartileIntensity": z(lo),
+        "UpperQuartileIntensity": z(hi),
+    }
+
+
+def _quantile_binned_mc(
+    image: jax.Array, labels: jax.Array, max_cells: int, stats=None, ranges=None
+):
+    """256-bin CDF-interpolation fallback for non-integer images: each
+    statistic lands within one bin width (object range / 256) of the
+    exact order statistic."""
     n_ch = image.shape[-1]
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)

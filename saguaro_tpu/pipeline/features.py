@@ -86,6 +86,10 @@ class FeatureConfig:
     neighbor_distance: int = 5
     max_radius: int = 48
     convex_dirs: int = 72
+    # Median/MAD/quartile intensities: True = exact order statistics on
+    # the integer uint16 grid (production measures raw binned TIFFs);
+    # set False for float-valued images (256-bin CDF approximation)
+    integer_intensity_grid: bool = True
 
 
 @jax.jit
@@ -247,6 +251,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             quant_mc = quantile_intensity_features_mc(
                 image, labels, cfg.max_cells,
                 stats=(cnt_f, vmin_f, vmax_f), ranges=px_ranges,
+                integer_grid=cfg.integer_intensity_grid,
             )
         for c in range(n_ch):
             ch_name = cfg.channels[c]

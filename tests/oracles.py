@@ -350,3 +350,31 @@ def cp_granularity_oracle(
         out[k] = (prevmean - cur) * 100.0 / denom
         prevmean = cur
     return out
+
+
+def cp_quantile_intensity(vals: np.ndarray):
+    """CP 4.2.8 MeasureObjectIntensity quantile semantics for one object.
+
+    Median = the LOWER middle order statistic ``sorted[(n+1)//2 - 1]``
+    (CP does not average the two middles for even counts); quartiles =
+    linear interpolation at 0-based position ``(n-1)q`` between adjacent
+    order statistics (numpy ``percentile`` convention); MAD = the order
+    statistic at the median index of ``|v - median|``.
+
+    Returns (median, mad, lower_quartile, upper_quartile).
+    """
+    v = np.sort(np.asarray(vals, np.float64))
+    n = len(v)
+    if n == 0:
+        return 0.0, 0.0, 0.0, 0.0
+    k = (n + 1) // 2 - 1
+    med = v[k]
+    mad = np.sort(np.abs(vals - med))[k]
+
+    def q(p):
+        pos = (n - 1) * p
+        j = int(np.floor(pos))
+        f = pos - j
+        return v[j] * (1 - f) + v[min(j + 1, n - 1)] * f
+
+    return med, mad, q(0.25), q(0.75)

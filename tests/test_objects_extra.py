@@ -17,12 +17,37 @@ def _disk(h, w, cy, cx, r):
 
 
 class TestQuantiles:
-    def test_matches_numpy_quantiles(self, rng):
+    def test_exact_on_integer_grid(self, rng):
+        """Exact CP order statistics for uint16 images: many objects of
+        odd/even/tiny sizes, full-range values with duplicates."""
+        from tests.oracles import cp_quantile_intensity
+
+        labels = np.zeros((96, 96), np.int32)
+        labels[_disk(96, 96, 24, 24, 20)] = 1     # big (even/odd mix)
+        labels[_disk(96, 96, 70, 24, 9)] = 2
+        labels[60, 70] = 3                         # single pixel
+        labels[80:82, 80:83] = 4                   # 6 px (even count)
+        img = rng.integers(0, 65536, (96, 96)).astype(np.uint16)
+        img[:48] //= 64                            # clustered low values
+        out = {k: np.asarray(v) for k, v in
+               quantile_intensity_features(
+                   img.astype(np.float32), labels, 8).items()}
+        for lab in (1, 2, 3, 4):
+            vals = img[labels == lab].astype(np.float64)
+            med, mad, lo, hi = cp_quantile_intensity(vals)
+            assert out["MedianIntensity"][lab] == med, (lab, "median")
+            assert out["MADIntensity"][lab] == mad, (lab, "mad")
+            assert abs(out["LowerQuartileIntensity"][lab] - lo) < 1e-3, lab
+            assert abs(out["UpperQuartileIntensity"][lab] - hi) < 1e-3, lab
+        assert (out["MedianIntensity"][np.array([0, 5, 6, 7])] == 0).all()
+
+    def test_float_fallback_matches_numpy_quantiles(self, rng):
         labels = np.zeros((64, 64), np.int32)
         labels[_disk(64, 64, 32, 32, 20)] = 1
         img = rng.normal(100, 25, (64, 64)).astype(np.float32)
         out = {k: float(np.asarray(v)[1]) for k, v in
-               quantile_intensity_features(img, labels, 8).items()}
+               quantile_intensity_features(
+                   img, labels, 8, integer_grid=False).items()}
         vals = img[labels == 1]
         # 256-bin histogram quantiles: tolerance = bin width
         binw = (vals.max() - vals.min()) / 256
