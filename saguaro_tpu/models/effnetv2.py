@@ -33,6 +33,7 @@ __all__ = [
     "EFFNETV2_L",
     "EffNetV2",
     "init_effnetv2",
+    "fold_batchnorm",
     "preprocess_crops",
     "embed_crops",
 ]
@@ -56,6 +57,14 @@ class EffNetV2Config:
     head_filters: int = 1280
     input_size: int = 480
     compute_dtype: str = "bfloat16"
+    # Inference BN folding: BatchNorm (inference mode) is an affine with
+    # fixed statistics, so it folds into the preceding conv's weights
+    # (W' = W * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)).
+    # The unfolded graph pays a separate f32 elementwise pass per conv on
+    # 100-600 MB activation tensors (profiled: stage-6 1x1 convs at
+    # 23 TFLOP/s); folding lets XLA keep the conv+SiLU epilogue in bf16.
+    # Weight trees convert with ``fold_batchnorm``.
+    fold_bn: bool = False
 
 
 EFFNETV2_S = EffNetV2Config(
@@ -106,6 +115,7 @@ class _ConvBNAct(nn.Module):
     stride: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,10 +124,13 @@ class _ConvBNAct(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding="SAME",
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=True, dtype=jnp.float32, epsilon=1e-3
+            )(x)
         # BN statistics/affine in f32, activations back to compute dtype:
         # leaving them f32 doubles inter-layer HBM traffic (profiled: the
         # 240x240 stem-area conv fusions ran at 15-27 TFLOP/s vs 150+ for
@@ -143,6 +156,7 @@ class _FusedMBConv(nn.Module):
     spec: StageSpec
     stride: int
     dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -150,10 +164,13 @@ class _FusedMBConv(nn.Module):
         mid = inp * self.spec.expand
         h = x
         if self.spec.expand != 1:
-            h = _ConvBNAct(mid, self.spec.kernel, self.stride, dtype=self.dtype)(h)
-            h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype)(h)
+            h = _ConvBNAct(mid, self.spec.kernel, self.stride, dtype=self.dtype,
+                           fold_bn=self.fold_bn)(h)
+            h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype,
+                           fold_bn=self.fold_bn)(h)
         else:
-            h = _ConvBNAct(self.spec.filters, self.spec.kernel, self.stride, dtype=self.dtype)(h)
+            h = _ConvBNAct(self.spec.filters, self.spec.kernel, self.stride,
+                           dtype=self.dtype, fold_bn=self.fold_bn)(h)
         if self.stride == 1 and inp == self.spec.filters:
             h = h + x
         return h
@@ -163,12 +180,13 @@ class _MBConv(nn.Module):
     spec: StageSpec
     stride: int
     dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         inp = x.shape[-1]
         mid = inp * self.spec.expand
-        h = _ConvBNAct(mid, 1, 1, dtype=self.dtype)(x)
+        h = _ConvBNAct(mid, 1, 1, dtype=self.dtype, fold_bn=self.fold_bn)(x)
         # depthwise
         h = nn.Conv(
             mid,
@@ -176,14 +194,18 @@ class _MBConv(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             feature_group_count=mid,
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32, epsilon=1e-3)(h)
+        if not self.fold_bn:
+            h = nn.BatchNorm(
+                use_running_average=True, dtype=jnp.float32, epsilon=1e-3
+            )(h)
         h = nn.silu(h).astype(self.dtype)
         if self.spec.se_ratio > 0:
             h = _SE(mid, max(1, int(inp * self.spec.se_ratio)), self.dtype)(h)
-        h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype)(h)
+        h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype,
+                       fold_bn=self.fold_bn)(h)
         if self.stride == 1 and inp == self.spec.filters:
             h = h + x
         return h
@@ -198,17 +220,61 @@ class EffNetV2(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+        fold = cfg.fold_bn
         x = x.astype(dtype)
-        x = _ConvBNAct(cfg.stem_filters, 3, 2, dtype=dtype)(x)
+        x = _ConvBNAct(cfg.stem_filters, 3, 2, dtype=dtype, fold_bn=fold)(x)
         for spec in cfg.stages:
             for i in range(spec.count):
                 stride = spec.stride if i == 0 else 1
                 if spec.block == "fused":
-                    x = _FusedMBConv(spec, stride, dtype)(x)
+                    x = _FusedMBConv(spec, stride, dtype, fold)(x)
                 else:
-                    x = _MBConv(spec, stride, dtype)(x)
-        x = _ConvBNAct(cfg.head_filters, 1, 1, dtype=dtype)(x)
+                    x = _MBConv(spec, stride, dtype, fold)(x)
+        x = _ConvBNAct(cfg.head_filters, 1, 1, dtype=dtype, fold_bn=fold)(x)
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def fold_batchnorm(variables) -> dict:
+    """Fold inference-mode BatchNorms into their preceding convolutions.
+
+    Input: an unfolded EffNetV2 variable tree ({'params', 'batch_stats'});
+    output: a tree for the SAME architecture built with
+    ``fold_bn=True`` (convs gain a bias, BatchNorm nodes disappear):
+
+        W' = W * gamma / sqrt(var + eps)       (per output channel)
+        b' = beta - mean * gamma / sqrt(var + eps)
+
+    Every BatchNorm in this family normalizes the conv that shares its
+    scope (``Conv_0`` + ``BatchNorm_0`` siblings inside _ConvBNAct and
+    _MBConv); SE convs carry their own bias and no BN. eps matches the
+    module's 1e-3. Exact in f32; under bf16 compute the folded program
+    rounds once where the unfolded rounded twice (tested ~1e-2-relative
+    on pooled embeddings, tests/test_weights.py).
+    """
+    import numpy as np
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    def walk(p: dict, s: dict) -> dict:
+        out = {}
+        for key, val in p.items():
+            if key.startswith("BatchNorm"):
+                continue  # consumed by the sibling conv below
+            if key.startswith("Conv") and "BatchNorm_0" in p:
+                bn_p, bn_s = p["BatchNorm_0"], s["BatchNorm_0"]
+                scale = bn_p["scale"] / np.sqrt(bn_s["var"] + 1e-3)
+                out[key] = {
+                    "kernel": val["kernel"] * scale,          # HWIO: out last
+                    "bias": bn_p["bias"] - bn_s["mean"] * scale,
+                }
+            elif isinstance(val, dict):
+                out[key] = walk(val, s.get(key, {}))
+            else:
+                out[key] = val
+        return out
+
+    return {"params": walk(params, stats)}
 
 
 def init_effnetv2(config: EffNetV2Config = EFFNETV2_L, seed: int = 0, init_size: int | None = None):

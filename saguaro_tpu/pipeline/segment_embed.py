@@ -97,6 +97,11 @@ class SegmentEmbedConfig:
     effnet_checkpoint: str | None = None
     devices: int | None = None         # mesh size for default engines
                                        # (None = all visible, 1 = no mesh)
+    fold_bn: bool = True               # fold inference BN into conv weights
+                                       # (profiled 23 TFLOP/s -> MXU-bound on
+                                       # the stage-6 1x1 convs; ~1e-2-relative
+                                       # embedding change from one fewer bf16
+                                       # rounding)
     cellpose: CellposeConfig = field(default_factory=CellposeConfig)
     effnet: EffNetV2Config = field(default_factory=lambda: EFFNETV2_L)
 
@@ -145,6 +150,18 @@ class SegmentEmbedEngine:
             logger.info("Loaded effnet checkpoint %s", cfg.effnet_checkpoint)
         self.cell_vars = cellpose_variables or cp_vars
         self.feat_vars = effnet_variables or en_vars
+        if cfg.fold_bn:
+            # inference speed: BN affines fold into conv weights AFTER any
+            # checkpoint load (models/effnetv2.fold_batchnorm). Variables
+            # passed in from another fold_bn engine are already folded
+            # (no batch_stats) — only the model graph needs switching.
+            import dataclasses
+
+            from saguaro_tpu.models.effnetv2 import EffNetV2, fold_batchnorm
+
+            self.feat_model = EffNetV2(dataclasses.replace(cfg.effnet, fold_bn=True))
+            if "batch_stats" in self.feat_vars:
+                self.feat_vars = fold_batchnorm(self.feat_vars)
         if mesh is not None:
             from saguaro_tpu.parallel.mesh import replicate
 
@@ -722,8 +739,23 @@ def run_pipeline(
     q: queue.Queue = queue.Queue(maxsize=cfg.prefetch_workers * 2)
     _prefetch_sites(tasks, cfg.channels, illum, cfg.prefetch_workers, q)
 
-    # consume: bucket same-shape sites into device batches (consumer role)
+    # consume: bucket same-shape sites into device batches (consumer role).
+    # One batch of ship-ahead: batch k+1's raw uint16 host->device transfer
+    # (jnp.asarray dispatches async) is started BEFORE batch k's compute, so
+    # the ~12 MB/site DMA rides under the previous batch's segment/embed/
+    # measure programs instead of serializing with them.
     buckets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+    pending: list[tuple[list[int], "jnp.ndarray"]] = []
+
+    def run_pending():
+        if not pending:
+            return
+        ids, imgs = pending.pop()
+        try:
+            record(engine.process_site_batch(ids, imgs, timer=timer))
+        except Exception as e:  # degrade-per-site: a bad batch never kills the run
+            logger.error("site batch %s failed (%s); recording empty results", ids, e)
+            record({sid: {"status": "empty", "n_cells": 0} for sid in ids})
 
     def flush(shape_key):
         items = buckets.pop(shape_key, [])
@@ -731,11 +763,13 @@ def run_pipeline(
             return
         ids = [sid for sid, _ in items]
         try:
-            imgs = np.stack([im for _, im in items])
-            record(engine.process_site_batch(ids, imgs, timer=timer))
-        except Exception as e:  # degrade-per-site: a bad batch never kills the run
-            logger.error("site batch %s failed (%s); recording empty results", ids, e)
+            imgs = jnp.asarray(np.stack([im for _, im in items]))  # async ship
+        except Exception as e:
+            logger.error("site batch %s ship failed (%s); recording empty", ids, e)
             record({sid: {"status": "empty", "n_cells": 0} for sid in ids})
+            return
+        run_pending()  # compute batch k while k+1's transfer is in flight
+        pending.append((ids, imgs))
 
     for _ in range(len(tasks)):
         site_id, image = q.get()
@@ -748,6 +782,7 @@ def run_pipeline(
             flush(key)
     for key in list(buckets):
         flush(key)
+    run_pending()
     if timer.count:
         timer.log_summary()
 

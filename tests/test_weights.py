@@ -412,6 +412,45 @@ class TestEffNetParity:
         # L has 79 blocks: 4+7+7 fused + 10+19+25+7 mbconv
         assert sum(1 for k in m.values() if k.startswith("blocks.")) > 700
 
+    def test_bn_folding_preserves_outputs(self, rng):
+        """fold_batchnorm: the fold_bn=True graph with folded weights
+        reproduces the unfolded graph exactly (f32 compute; the engine's
+        bf16 path adds only one fewer rounding per conv)."""
+        import dataclasses
+
+        import jax
+
+        from saguaro_tpu.models.effnetv2 import fold_batchnorm
+
+        model = EffNetV2(TINY_EFFNET)
+        variables = model.init(
+            jax.random.PRNGKey(1), np.zeros((1, 32, 32, 3), np.float32)
+        )
+        # non-trivial running statistics so the fold actually moves weights
+        stats = variables["batch_stats"]
+        leaves, treedef = jax.tree.flatten(stats)
+        variables = dict(variables)
+        variables["batch_stats"] = jax.tree.unflatten(
+            treedef,
+            [
+                np.abs(rng.normal(0.8, 0.3, l.shape)).astype(np.float32) + 0.1
+                for l in leaves
+            ],
+        )
+        folded_model = EffNetV2(dataclasses.replace(TINY_EFFNET, fold_bn=True))
+        folded = fold_batchnorm(variables)
+        # the folded tree matches the folded architecture's own init structure
+        ref = folded_model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+        )
+        assert set(flatten_tree(folded)) == set(flatten_tree(ref))
+
+        x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        with jax.default_matmul_precision("highest"):
+            want = np.asarray(model.apply(variables, x))
+            got = np.asarray(folded_model.apply(folded, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
 
 class TestEngineTorchCheckpoint:
     def test_engine_loads_torch_cpnet_file(self, rng, tmp_path):
