@@ -45,20 +45,26 @@ SIZE = 1080
 # (README.md channel lists). BENCH_NCH=2 reproduces the historical
 # 2-channel record for comparison (BENCH.md headline table).
 N_CH = int(os.environ.get("BENCH_NCH", "5"))
+# Cell-grid step: 64 -> 256 cells/site (the reference's ~290-cell op
+# point). BENCH_CELL_STEP=44 -> 529 cells, ABOVE the default
+# max_cells=512 static bound — the dense-site characterization point
+# (cells beyond the bound truncate; the engine logs them).
+CELL_STEP = int(os.environ.get("BENCH_CELL_STEP", "64"))
 SITES_PER_PLATE = 384
 PARITY_PLATES_PER_HOUR_PER_CHIP = 3600.0 / (300.0 * 8.0)  # north star
 
 
 def synthetic_site(rng):
-    """A 1080^2 N_CH-channel field with ~290 bright nuclei + GT labels."""
+    """A 1080^2 N_CH-channel field with bright nuclei + GT labels."""
     image = rng.integers(80, 120, (SIZE, SIZE, N_CH)).astype(np.uint16)
     labels = np.zeros((SIZE, SIZE), np.int32)
     yy, xx = np.meshgrid(np.arange(SIZE), np.arange(SIZE), indexing="ij")
+    radius = min(20, CELL_STEP // 3)
     k = 0
-    for cy in range(60, SIZE - 20, 64):
-        for cx in range(60, SIZE - 20, 64):
+    for cy in range(60, SIZE - 20, CELL_STEP):
+        for cx in range(60, SIZE - 20, CELL_STEP):
             k += 1
-            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= 20**2
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= radius**2
             labels[m] = k
             image[m, 0] += 2000
             for ch in range(1, N_CH):
@@ -84,10 +90,14 @@ def main() -> None:
         SegmentEmbedEngine,
     )
 
+    def mark(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(0)
     image, labels, n_cells = synthetic_site(rng)
     channel_names = ["DNA", "GFP", "ER", "Mito", "AGP", "RNA"][:N_CH]
     cfg = SegmentEmbedConfig(channels=channel_names, diameter=100.0)
+    mark(f"engine init ({n_cells} cells/site, {N_CH} ch)")
     engine = SegmentEmbedEngine(cfg, seed=0)
 
     b = cfg.site_batch
@@ -171,10 +181,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    mark("timing ship")
     ship_s = timed(run_ship, iters=3) / b
+    mark("timing segment")
     seg_s = timed(run_segment) / b
+    mark("timing embed")
     embed_s = timed(run_embed) / b
+    mark("timing measure")
     feat_s = timed(run_measure) / (b * MEASURE_K)
+    mark("done")
 
     site_s = ship_s + seg_s + embed_s + feat_s
     plate_s = site_s * SITES_PER_PLATE

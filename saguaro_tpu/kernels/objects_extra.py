@@ -13,8 +13,9 @@ All computed as segment reductions with static bounds:
   Histograms are one-hot MXU matmuls (``onehot_reduce.onehot_counts``:
   keyed scatters measured 0.125 vs 0.164 s/site), and all channels +
   rank queries contract against ONE label one-hot per pass. Float
-  (non-integer) images fall back to the 256-bin CDF interpolation
-  (``integer_grid=False``);
+  (non-integer) images run the same rank machinery on a per-object
+  adaptive 16-bit grid (``integer_grid=False``: error ≤ object
+  range / 131070);
 * edge intensities: segment stats restricted to boundary pixels;
 * radial distribution (FracAtD/MeanFrac per ring): normalized centroid
   distance binned into rings, one segment-sum per statistic;
@@ -41,9 +42,6 @@ __all__ = [
     "radial_distribution_features",
     "neighbor_features",
 ]
-
-_NBINS = 256
-
 
 @partial(jax.jit, static_argnames=("max_cells", "integer_grid"))
 def quantile_intensity_features(
@@ -122,12 +120,13 @@ def quantile_intensity_features_mc(
     (max_cells, C)) from kernels/fused_measure (only cnt is consumed on
     the integer path).
     ``ranges``: optional pregathered per-pixel (pmin, prange) each
-    (N, C) — used only by the ``integer_grid=False`` fallback (shared
-    with GLCM quantization).
-    ``integer_grid=False``: 256-bin CDF-interpolation approximation for
-    images whose values do not sit on an integer grid."""
+    (N, C) — used only by the ``integer_grid=False`` path (shared with
+    GLCM quantization).
+    ``integer_grid=False``: same rank semantics on a per-object adaptive
+    16-bit grid for images whose values do not sit on an integer grid
+    (e.g. illum-corrected floats); error ≤ object range / 131070."""
     if not integer_grid:
-        return _quantile_binned_mc(image, labels, max_cells, stats, ranges)
+        return _quantile_adaptive_mc(image, labels, max_cells, stats, ranges)
     n_ch = image.shape[-1]
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
@@ -137,8 +136,6 @@ def quantile_intensity_features_mc(
     vi = jnp.clip(
         jnp.round(image.reshape(-1, n_ch).astype(jnp.float32)), 0.0, 65535.0
     ).astype(jnp.int32)                               # (N, C) integer grid
-    hi8 = vi >> 8
-    lo8 = vi & 255
 
     if stats is None:
         cnt = jax.ops.segment_sum(
@@ -150,42 +147,9 @@ def quantile_intensity_features_mc(
     k_med, j25, f25, j75, f75 = _rank_positions(n)
     nm1 = jnp.maximum(n - 1, 0)
 
-    def two_level(hi_col, lo_col, ranks):
-        """Exact order statistics for one integer column set.
-
-        hi_col/lo_col: (N, C) level-1/level-2 bin codes; ranks: list of
-        (max_cells,) int32 0-based ranks. One level-1 onehot pass + ONE
-        fused masked level-2 pass for every (rank, channel) pair.
-        Returns [(max_cells, C) integer values as f32, ...] per rank."""
-        h1 = onehot_counts(
-            seg, [(hi_col[:, c], inside, 256) for c in range(n_ch)], max_cells
-        )
-        cum1 = jnp.cumsum(jnp.stack(h1, axis=-1), axis=1)  # (max_cells, 256, C)
-        sels, rems = [], []
-        for r in ranks:
-            s, rem = _rank_to_coarse(cum1, jnp.clip(r, 0, nm1))
-            sels.append(s)
-            rems.append(rem)
-        # one fused per-pixel lookup of every query's selected coarse bin
-        sel_tab = jnp.concatenate(sels, axis=1).astype(jnp.float32)
-        p_sel = jnp.round(mxu_take(sel_tab, seg, max_cells)).astype(jnp.int32)
-        codes = []
-        for qi in range(len(ranks)):
-            for c in range(n_ch):
-                m = inside & (hi_col[:, c] == p_sel[:, qi * n_ch + c])
-                codes.append((lo_col[:, c], m, 256))
-        h2 = onehot_counts(seg, codes, max_cells)
-        out = []
-        for qi, (s, rem) in enumerate(zip(sels, rems)):
-            cum2 = jnp.cumsum(
-                jnp.stack(h2[qi * n_ch : (qi + 1) * n_ch], axis=-1), axis=1
-            )
-            fine = jnp.argmax(cum2 > rem[:, None, :], axis=1)  # (max_cells, C)
-            out.append((s * 256 + fine).astype(jnp.float32))
-        return out
-
-    v_med, v25lo, v25hi, v75lo, v75hi = two_level(
-        hi8, lo8, [k_med, j25, jnp.minimum(j25 + 1, nm1), j75, jnp.minimum(j75 + 1, nm1)]
+    v_med, v25lo, v25hi, v75lo, v75hi = _two_level_ranks(
+        seg, inside, vi, [k_med, j25, jnp.minimum(j25 + 1, nm1),
+                          j75, jnp.minimum(j75 + 1, nm1)], nm1, n_ch, max_cells
     )
     lo = v25lo * (1.0 - f25[:, None]) + v25hi * f25[:, None]
     hi = v75lo * (1.0 - f75[:, None]) + v75hi * f75[:, None]
@@ -194,7 +158,7 @@ def quantile_intensity_features_mc(
     # deviations, same two-level machinery
     pmed = jnp.round(mxu_take(v_med, seg, max_cells)).astype(jnp.int32)
     dev = jnp.abs(vi - pmed)
-    (mad,) = two_level(dev >> 8, dev & 255, [k_med])
+    (mad,) = _two_level_ranks(seg, inside, dev, [k_med], nm1, n_ch, max_cells)
 
     zero = (n <= 0)[:, None]
     z = lambda a: jnp.where(zero, 0.0, a)
@@ -206,12 +170,61 @@ def quantile_intensity_features_mc(
     }
 
 
-def _quantile_binned_mc(
+def _two_level_ranks(seg, inside, codes16, ranks, nm1, n_ch, max_cells):
+    """Exact order statistics of 16-bit codes via two-level histograms.
+
+    codes16: (N, C) int32 in [0, 65535]; ranks: list of (max_cells,)
+    int32 0-based rank queries. Level 1 bins ``code >> 8``; the object's
+    coarse bin per rank query is selected from the level-1 CDF; ONE fused
+    masked level-2 pass bins ``code & 255`` for every (rank, channel)
+    pair, so each rank resolves to the exact code. All histogram columns
+    contract against the same label one-hot per pixel chunk
+    (``onehot_counts``) — the one-hot is the dominant HBM traffic, so
+    extra columns are near-free. Returns [(max_cells, C) f32 codes, ...]
+    per rank."""
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+
+    hi_col = codes16 >> 8
+    lo_col = codes16 & 255
+    h1 = onehot_counts(
+        seg, [(hi_col[:, c], inside, 256) for c in range(n_ch)], max_cells
+    )
+    cum1 = jnp.cumsum(jnp.stack(h1, axis=-1), axis=1)  # (max_cells, 256, C)
+    sels, rems = [], []
+    for r in ranks:
+        s, rem = _rank_to_coarse(cum1, jnp.clip(r, 0, nm1))
+        sels.append(s)
+        rems.append(rem)
+    # one fused per-pixel lookup of every query's selected coarse bin
+    sel_tab = jnp.concatenate(sels, axis=1).astype(jnp.float32)
+    p_sel = jnp.round(mxu_take(sel_tab, seg, max_cells)).astype(jnp.int32)
+    codes = []
+    for qi in range(len(ranks)):
+        for c in range(n_ch):
+            m = inside & (hi_col[:, c] == p_sel[:, qi * n_ch + c])
+            codes.append((lo_col[:, c], m, 256))
+    h2 = onehot_counts(seg, codes, max_cells)
+    out = []
+    for qi, (s, rem) in enumerate(zip(sels, rems)):
+        cum2 = jnp.cumsum(
+            jnp.stack(h2[qi * n_ch : (qi + 1) * n_ch], axis=-1), axis=1
+        )
+        fine = jnp.argmax(cum2 > rem[:, None, :], axis=1)  # (max_cells, C)
+        out.append((s * 256 + fine).astype(jnp.float32))
+    return out
+
+
+def _quantile_adaptive_mc(
     image: jax.Array, labels: jax.Array, max_cells: int, stats=None, ranges=None
 ):
-    """256-bin CDF-interpolation fallback for non-integer images: each
-    statistic lands within one bin width (object range / 256) of the
-    exact order statistic."""
+    """Float-image path: the SAME CP rank semantics as the integer path,
+    on a per-object adaptive 16-bit grid. Values quantize to
+    ``round((v - vmin) / range * 65535)`` so every statistic lands within
+    half a grid step (object range / 131070) of the exact order
+    statistic — e.g. illumination-corrected floats (the production
+    measurement input when an illum profile is applied,
+    pipeline/feature_extraction.py) lose <1e-5 relative, vs the
+    range/256 bins this replaced."""
     n_ch = image.shape[-1]
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
@@ -247,36 +260,29 @@ def _quantile_binned_mc(
         gq = mxu_take(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
         pmin = gq[:, :n_ch]
         prange = gq[:, n_ch:]
-    bins = jnp.clip(((v - pmin) / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
-    hists = onehot_counts(
-        seg, [(bins[:, c], inside, _NBINS) for c in range(n_ch)], max_cells
-    )  # C x (max_cells, _NBINS)
-    hist = jnp.stack(hists, axis=-1)                  # (max_cells, _NBINS, C)
+    prange = jnp.maximum(prange, 1e-12)
+    t = jnp.clip((v - pmin) / prange, 0.0, 1.0)
+    codes = jnp.round(t * 65535.0).astype(jnp.int32)  # (N, C) adaptive grid
 
-    cdf = jnp.cumsum(hist, axis=1)
-    total = jnp.maximum(cdf[:, -1:, :], 1.0)
-    cdfn = cdf / total
+    n = jnp.round(cnt).astype(jnp.int32)
+    k_med, j25, f25, j75, f75 = _rank_positions(n)
+    nm1 = jnp.maximum(n - 1, 0)
+    decode = lambda c: vmin + c / 65535.0 * vrange    # grid endpoints exact
 
-    def q(p):
-        # first bin where CDF >= p, mapped back to intensity
-        idx = jnp.argmax(cdfn >= p, axis=1).astype(jnp.float32)  # (max_cells, C)
-        return vmin + (idx + 0.5) / _NBINS * vrange
-
-    med = q(0.5)
-    lo = q(0.25)
-    hi = q(0.75)
-
-    # MAD: histogram of |v - median(object)| over [0, range]
-    pmed = mxu_take(med, seg, max_cells)
-    dev = jnp.abs(v - pmed)
-    dbins = jnp.clip((dev / prange * _NBINS), 0, _NBINS - 1).astype(jnp.int32)
-    dhists = onehot_counts(
-        seg, [(dbins[:, c], inside, _NBINS) for c in range(n_ch)], max_cells
+    c_med, c25lo, c25hi, c75lo, c75hi = _two_level_ranks(
+        seg, inside, codes, [k_med, j25, jnp.minimum(j25 + 1, nm1),
+                             j75, jnp.minimum(j75 + 1, nm1)], nm1, n_ch, max_cells
     )
-    dhist = jnp.stack(dhists, axis=-1)
-    dcdf = jnp.cumsum(dhist, axis=1) / total
-    mad_idx = jnp.argmax(dcdf >= 0.5, axis=1).astype(jnp.float32)
-    mad = (mad_idx + 0.5) / _NBINS * vrange
+    med = decode(c_med)
+    lo = decode(c25lo) * (1.0 - f25[:, None]) + decode(c25hi) * f25[:, None]
+    hi = decode(c75lo) * (1.0 - f75[:, None]) + decode(c75hi) * f75[:, None]
+
+    # MAD: |v - median| quantized on the same per-object grid scale
+    pmed = mxu_take(med, seg, max_cells)
+    dev = jnp.clip(jnp.abs(v - pmed) / prange, 0.0, 1.0)
+    dcodes = jnp.round(dev * 65535.0).astype(jnp.int32)
+    (c_mad,) = _two_level_ranks(seg, inside, dcodes, [k_med], nm1, n_ch, max_cells)
+    mad = c_mad / 65535.0 * vrange
 
     zero = (cnt <= 0)[:, None]
     z = lambda a: jnp.where(zero, 0.0, a)

@@ -248,14 +248,14 @@ def fold_batchnorm(variables) -> dict:
     scope (``Conv_0`` + ``BatchNorm_0`` siblings inside _ConvBNAct and
     _MBConv); SE convs carry their own bias and no BN. eps matches the
     module's 1e-3. Exact in f32; under bf16 compute the folded program
-    rounds once where the unfolded rounded twice (tested ~1e-2-relative
-    on pooled embeddings, tests/test_weights.py).
+    rounds once where the unfolded rounded twice (tested in
+    tests/test_weights.py).
+
+    The arithmetic runs wherever the inputs live: device trees stay
+    device-resident (folding a host/numpy tree and feeding it to a jit
+    would re-upload every leaf on EVERY call — through this
+    environment's relay that is ~0.5 GB per embed chunk).
     """
-    import numpy as np
-
-    params = jax.tree.map(np.asarray, variables["params"])
-    stats = jax.tree.map(np.asarray, variables["batch_stats"])
-
     def walk(p: dict, s: dict) -> dict:
         out = {}
         for key, val in p.items():
@@ -263,7 +263,7 @@ def fold_batchnorm(variables) -> dict:
                 continue  # consumed by the sibling conv below
             if key.startswith("Conv") and "BatchNorm_0" in p:
                 bn_p, bn_s = p["BatchNorm_0"], s["BatchNorm_0"]
-                scale = bn_p["scale"] / np.sqrt(bn_s["var"] + 1e-3)
+                scale = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-3)
                 out[key] = {
                     "kernel": val["kernel"] * scale,          # HWIO: out last
                     "bias": bn_p["bias"] - bn_s["mean"] * scale,
@@ -274,7 +274,11 @@ def fold_batchnorm(variables) -> dict:
                 out[key] = val
         return out
 
-    return {"params": walk(params, stats)}
+    # ONE jitted program (vs ~6k eager dispatches for L's leaf count —
+    # material through a remote-dispatch relay)
+    return jax.jit(
+        lambda v: {"params": walk(dict(v["params"]), dict(v["batch_stats"]))}
+    )(variables)
 
 
 def init_effnetv2(config: EffNetV2Config = EFFNETV2_L, seed: int = 0, init_size: int | None = None):

@@ -87,9 +87,12 @@ class FeatureConfig:
     max_radius: int = 48
     convex_dirs: int = 72
     # Median/MAD/quartile intensities: True = exact order statistics on
-    # the integer uint16 grid (production measures raw binned TIFFs);
-    # set False for float-valued images (256-bin CDF approximation)
-    integer_intensity_grid: bool = True
+    # the integer uint16 grid; False = same rank semantics on a
+    # per-object adaptive 16-bit grid (error <= range/131070, e.g. for
+    # illum-corrected floats); None (default) = auto by input dtype at
+    # the measure_site/measure_site_batch entry (integer arrays take the
+    # exact path, float arrays the adaptive one)
+    integer_intensity_grid: bool | None = None
 
 
 @jax.jit
@@ -251,7 +254,9 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             quant_mc = quantile_intensity_features_mc(
                 image, labels, cfg.max_cells,
                 stats=(cnt_f, vmin_f, vmax_f), ranges=px_ranges,
-                integer_grid=cfg.integer_intensity_grid,
+                # None (unresolved: caller skipped _resolve_integer_grid)
+                # degrades to the adaptive-grid path, safe for any input
+                integer_grid=bool(cfg.integer_intensity_grid),
             )
         for c in range(n_ch):
             ch_name = cfg.channels[c]
@@ -369,6 +374,21 @@ def _measure_flat(
     return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
 
 
+def _resolve_integer_grid(cfg: FeatureConfig, images) -> FeatureConfig:
+    """Resolve ``integer_intensity_grid=None`` (auto) from the input
+    dtype BEFORE the f32 cast: integer arrays (raw binned uint16 TIFFs)
+    take the exact integer-grid quantile path; float arrays (e.g.
+    illum-corrected, pipeline/feature_extraction.py) the adaptive one."""
+    if cfg.integer_intensity_grid is not None:
+        return cfg
+    import dataclasses
+
+    dtype = getattr(images, "dtype", None) or np.asarray(images).dtype
+    return dataclasses.replace(
+        cfg, integer_intensity_grid=bool(jnp.issubdtype(dtype, jnp.integer))
+    )
+
+
 def _measure_fetch(images, nuclei, cfg, batched: bool, mesh=None):
     """Run + fetch a measurement as one transfer; rebuild the tree.
 
@@ -376,6 +396,7 @@ def _measure_fetch(images, nuclei, cfg, batched: bool, mesh=None):
     is sharded over 'data' and XLA partitions the whole measurement
     program across the slice — the CellProfiler-fleet replacement at
     multi-chip scale."""
+    cfg = _resolve_integer_grid(cfg, images)
     images = jnp.asarray(images, jnp.float32)
     nuclei = jnp.asarray(nuclei, jnp.int32)
     if mesh is not None and batched and images.shape[0] % mesh.shape["data"] == 0:
@@ -406,6 +427,7 @@ def measure_site_batch_dispatch(
     overlapping the finalize (a ~30 MB packed result fetch, ~1 s/batch
     through this environment's relay) with the NEXT batch's compute is
     the driver's pipelining lever."""
+    cfg = _resolve_integer_grid(cfg, images)
     images = jnp.asarray(images, jnp.float32)
     nuclei = jnp.asarray(nuclei_labels, jnp.int32)
     if mesh is not None and images.shape[0] % mesh.shape["data"] == 0:
@@ -485,7 +507,11 @@ def _tables_from_result(
     tables: dict[str, pd.DataFrame] = {}
     for obj_name, feats in res["objects"].items():
         areas = feats["AreaShape_Area"]
+        # slot 0 is never a real object: the kernels route pixels of
+        # labels >= max_cells (dense-site overflow) into segment 0, so a
+        # truncated site would otherwise leak a phantom ObjectNumber-0 row
         present = np.where(areas > 0)[0]
+        present = present[present > 0]
         df = pd.DataFrame({k: v[present] for k, v in feats.items()})
         df.insert(0, "ObjectNumber", present.astype(np.int64))
         df.insert(0, "ImageNumber", image_number)

@@ -437,8 +437,20 @@ class SegmentEmbedEngine:
                         (np.zeros((0, n_ch, FEATURE_LENGTH), np.float32),
                          np.zeros((0, 2), np.int64))
                     )
-        for sid, (feats, coords) in zip(site_ids, per_site):
+        for sid, labels, (feats, coords) in zip(site_ids, labels_list, per_site):
             try:
+                # surface max_cells truncation: cells with ids beyond the
+                # static bound are silently absent from crops/measurement,
+                # so a dense site must be distinguishable from a clean one
+                # in the logs (same QC contract as the hull-overflow count)
+                n_seg = int(np.asarray(labels).max())
+                n_trunc = max(0, n_seg - (self.cfg.max_cells - 1))
+                if n_trunc:
+                    logger.warning(
+                        "site %s: %d cells segmented but max_cells=%d — "
+                        "%d cells dropped from embedding/measurement",
+                        sid, n_seg, self.cfg.max_cells, n_trunc,
+                    )
                 if len(feats) == 0:
                     results[sid] = {"status": "empty", "n_cells": 0}
                     continue
@@ -446,6 +458,7 @@ class SegmentEmbedEngine:
                 results[sid] = {
                     "status": "success",
                     "n_cells": len(feats),
+                    "n_truncated": n_trunc,
                     "features": feats,
                     "coords": coords,
                     "is_dead": is_dead,

@@ -500,3 +500,28 @@ class TestMeasureSite:
         # cells contain nuclei: cytoplasm area < cells area
         assert (tables["Cytoplasm"]["AreaShape_Area"].to_numpy()
                 < tables["Cells"]["AreaShape_Area"].to_numpy()).all()
+
+
+class TestIntegerGridAutoResolve:
+    def test_dtype_resolution(self):
+        """integer_intensity_grid=None resolves from the input dtype at
+        the measurement entry: integer arrays -> exact integer-grid
+        quantiles, float arrays (illum-corrected) -> adaptive grid."""
+        from saguaro_tpu.pipeline.features import (
+            FeatureConfig,
+            _resolve_integer_grid,
+        )
+
+        cfg = FeatureConfig(channels=("DNA",))
+        assert cfg.integer_intensity_grid is None
+        assert _resolve_integer_grid(
+            cfg, np.zeros((4, 4, 1), np.uint16)
+        ).integer_intensity_grid is True
+        assert _resolve_integer_grid(
+            cfg, np.zeros((4, 4, 1), np.float32)
+        ).integer_intensity_grid is False
+        # explicit setting wins over auto-detection
+        forced = FeatureConfig(channels=("DNA",), integer_intensity_grid=True)
+        assert _resolve_integer_grid(
+            forced, np.zeros((4, 4, 1), np.float32)
+        ).integer_intensity_grid is True

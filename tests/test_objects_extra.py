@@ -41,6 +41,27 @@ class TestQuantiles:
             assert abs(out["UpperQuartileIntensity"][lab] - hi) < 1e-3, lab
         assert (out["MedianIntensity"][np.array([0, 5, 6, 7])] == 0).all()
 
+    def test_float_path_matches_cp_semantics(self, rng):
+        """The adaptive-grid float path reproduces the SAME CP rank
+        semantics as the integer path, within half a 16-bit grid step."""
+        from tests.oracles import cp_quantile_intensity
+
+        labels = np.zeros((64, 64), np.int32)
+        labels[_disk(64, 64, 32, 32, 20)] = 1
+        labels[_disk(64, 64, 12, 52, 6)] = 2
+        img = rng.normal(100, 25, (64, 64)).astype(np.float32)
+        out = {k: np.asarray(v) for k, v in
+               quantile_intensity_features(
+                   img, labels, 8, integer_grid=False).items()}
+        for lab in (1, 2):
+            vals = img[labels == lab].astype(np.float64)
+            med, mad, lo, hi = cp_quantile_intensity(vals)
+            tol = (vals.max() - vals.min()) / 65535.0 + 1e-4
+            assert abs(out["MedianIntensity"][lab] - med) < tol, lab
+            assert abs(out["MADIntensity"][lab] - mad) < tol, lab
+            assert abs(out["LowerQuartileIntensity"][lab] - lo) < tol, lab
+            assert abs(out["UpperQuartileIntensity"][lab] - hi) < tol, lab
+
     def test_float_fallback_matches_numpy_quantiles(self, rng):
         labels = np.zeros((64, 64), np.int32)
         labels[_disk(64, 64, 32, 32, 20)] = 1
@@ -49,7 +70,8 @@ class TestQuantiles:
                quantile_intensity_features(
                    img, labels, 8, integer_grid=False).items()}
         vals = img[labels == 1]
-        # 256-bin histogram quantiles: tolerance = bin width
+        # legacy loose bound (the adaptive grid is far tighter; see
+        # test_float_path_matches_cp_semantics)
         binw = (vals.max() - vals.min()) / 256
         assert abs(out["MedianIntensity"] - np.median(vals)) < 2 * binw
         assert abs(out["LowerQuartileIntensity"] - np.quantile(vals, 0.25)) < 2 * binw

@@ -163,3 +163,75 @@ class TestFullProfileChain:
         # hit calling runs without error on the tiny plate
         ind_mean, thresholds, sig_ind = hit_calling(sel)
         assert "induction" in sig_ind.columns
+
+
+class TestDenseSiteBound:
+    """VERDICT r2 weak #5: sites denser than the static ``max_cells``
+    bound truncate DETERMINISTICALLY (lowest label ids kept) and the
+    truncation is SURFACED (log warning + n_truncated in the result),
+    never silent."""
+
+    def _engine(self):
+        cfg = SegmentEmbedConfig(
+            channels=["DNA", "GFP"], diameter=None, box_size=16, max_cells=8,
+            embed_chunk=4, embed_size=32, min_size=3,
+            cellpose=CellposeConfig(tile=64, features=(4, 8, 16, 32)),
+            effnet=EffNetV2Config(
+                stem_filters=4,
+                stages=(StageSpec("fused", 1, 3, 1, 4, 1),),
+                head_filters=1280, input_size=32,
+            ),
+        )
+        return cfg, SegmentEmbedEngine(cfg, seed=0)
+
+    def _dense_labels(self, h=96, w=96, n=12, r=4):
+        labels = np.zeros((h, w), np.int32)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        k = 0
+        for cy in range(16, h - 12, 20):
+            for cx in range(16, w - 12, 20):
+                k += 1
+                if k > n:
+                    return labels
+                labels[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = k
+        return labels
+
+    def test_truncation_surfaced_and_deterministic(self, caplog):
+        import logging
+
+        cfg, eng = self._engine()
+        labels = self._dense_labels()
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 3000, (1, 96, 96, 2)).astype(np.uint16)
+        eng.segment_batch = lambda images: [labels]  # isolate the bound
+
+        with caplog.at_level(logging.WARNING, "saguaro_tpu.pipeline.segment_embed"):
+            res = eng.process_site_batch([7], imgs)
+        assert res[7]["status"] == "success"
+        # ids 1..max_cells-1 = 7 cells kept, 12 - 7 = 5 dropped
+        assert res[7]["n_cells"] == 7
+        assert res[7]["n_truncated"] == 5
+        assert any("max_cells" in m for m in caplog.messages)
+
+        # deterministic: kept coords are exactly the centroids of ids 1..7
+        want = np.array(
+            [[int(np.mean(a)) for a in np.where(labels == k)] for k in range(1, 8)]
+        )
+        got = np.asarray(res[7]["coords"])
+        assert got.shape == (7, 2)
+        np.testing.assert_allclose(got, want, atol=1.0)
+
+    def test_measurement_truncates_at_bound(self):
+        from saguaro_tpu.pipeline.features import FeatureConfig, measure_site
+
+        labels = self._dense_labels()
+        rng = np.random.default_rng(4)
+        imgs = (rng.random((96, 96, 2)) * 100).astype(np.float32)
+        fcfg = FeatureConfig(
+            channels=("DNA", "GFP"), max_cells=8, glcm_levels=8,
+            secondary_iterations=4, granularity_length=4,
+            measure_zernike=False, max_radius=8, convex_dirs=12,
+        )
+        tables = measure_site(imgs, labels, fcfg)
+        assert len(tables["Nuclei"]) == 7  # ids 1..7 only, deterministic
+        assert tables["Nuclei"]["ObjectNumber"].tolist() == list(range(1, 8))
