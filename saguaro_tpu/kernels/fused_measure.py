@@ -216,14 +216,17 @@ def fused_object_features(
     # centroid + vmax lookups as ONE mxu_take matmul scan: full-size XLA
     # gathers run at ~1.7 GB/s on TPU (profiled ~85 ms each; this path
     # held ~1.3 s/batch of them), and a single (N, C) gather also got a
-    # T(8,128) layout with the C minor dim padded to 128 (64x HBM blowup)
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+    # T(8,128) layout with the C minor dim padded to 128 (64x HBM blowup).
+    # Transposed form: on TPU the Pallas kernel emits (K, N) directly
+    # (9.06 -> 2.49 ms/site); only the small vmax block is re-laid (N, C)
+    # for the at_max lanes below.
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
-    g0 = mxu_take(
+    g0 = mxu_take_t(
         jnp.concatenate([cy[:, None], cx[:, None], vmax], axis=1), seg, max_cells
     )
-    dy = yf - g0[:, 0]
-    dx = xf - g0[:, 1]
+    dy = yf - g0[0]
+    dx = xf - g0[1]
     dist = jnp.sqrt(dy * dy + dx * dx)
     # tolerant max-pixel test: g0's 3-term bf16 reconstruction of vmax is
     # exact only to ~1-2 f32 ulp, and a reconstruction 1 ulp ABOVE the
@@ -232,7 +235,7 @@ def fused_object_features(
     # eps = a few ulp of the channel max; for integer-valued (uint16)
     # intensities this is far below one gray level, so no wrong pixel
     # can slip under the tolerance.
-    g0v = g0[:, 2:]
+    g0v = g0[2:].T  # (N, C)
     at_max = inside_m[:, None] & (vr >= g0v - (jnp.abs(g0v) * 4e-6 + 1e-12))
     idxf = jnp.arange(h * w, dtype=jnp.float32)
     min_lanes = [

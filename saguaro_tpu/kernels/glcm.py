@@ -46,31 +46,33 @@ _DIRECTIONS = ((0, 1), (1, 1), (1, 0), (1, -1))
 
 @partial(jax.jit, static_argnames=("max_cells", "levels"))
 def quantize_channels(image, labels, max_cells, levels, stats=None, ranges=None):
-    """(H, W, C) image -> (H, W, C) per-object quantized gray levels.
+    """(H, W, C) image -> (C, H, W) per-object quantized gray levels
+    (channel-major: pixels stay on the lane axes, matching the
+    ``mxu_take_t`` row layout of the range lookups).
 
-    All channels' per-pixel (vmin, vrange) lookups ride ONE mxu_take
+    All channels' per-pixel (vmin, vrange) lookups ride ONE mxu_take_t
     scan (vs one per channel inside per-channel object_glcm calls).
     ``stats``: (vmin, vmax) each (max_cells, C) — e.g. fused_measure's.
     ``ranges``: optional pregathered per-pixel (pmin, prange) each
-    (N, C) — shared with the quantile kernel's range lookups.
+    (C, N) lane-major — shared with the quantile kernel's range lookups.
     """
     n_ch = image.shape[-1]
-    img = image.astype(jnp.float32)
+    img = jnp.moveaxis(image.astype(jnp.float32), -1, 0)  # (C, H, W)
     if ranges is not None:
         pmin, prange = ranges
-        pmin = pmin.reshape(*labels.shape, n_ch)
-        prange = prange.reshape(*labels.shape, n_ch)
+        pmin = pmin.reshape(n_ch, *labels.shape)
+        prange = prange.reshape(n_ch, *labels.shape)
     else:
-        from saguaro_tpu.kernels.onehot_reduce import mxu_take
+        from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
         vmin, vmax = stats
         lab32 = labels.astype(jnp.int32)
         lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
         vrange = jnp.maximum(vmax - vmin, 1e-12)
-        g = mxu_take(
+        g = mxu_take_t(
             jnp.concatenate([vmin, vrange], axis=1), lab.reshape(-1), max_cells
-        ).reshape(*lab.shape, 2 * n_ch)
-        pmin, prange = g[..., :n_ch], g[..., n_ch:]
+        ).reshape(2 * n_ch, *lab.shape)
+        pmin, prange = g[:n_ch], g[n_ch:]
     return jnp.clip(
         jnp.floor((img - pmin) / prange * levels), 0, levels - 1
     ).astype(jnp.int32)
@@ -91,13 +93,13 @@ def _quantize(image, labels, max_cells, levels, stats=None):
     img = image.astype(jnp.float32)
     # per-pixel range lookups as one matmul-take scan (full-size XLA
     # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
-    g = mxu_take(
+    g = mxu_take_t(
         jnp.stack([vmin, vrange], axis=1), lab.reshape(-1), max_cells
-    ).reshape(*lab.shape, 2)
+    ).reshape(2, *lab.shape)
     q = jnp.clip(
-        jnp.floor((img - g[..., 0]) / g[..., 1] * levels), 0, levels - 1
+        jnp.floor((img - g[0]) / g[1] * levels), 0, levels - 1
     ).astype(jnp.int32)
     return lab, inside, q
 

@@ -5,11 +5,13 @@ distribution, neighbors — the remaining CP measurement families
 All computed as segment reductions with static bounds:
 
 * quantile intensities (Median/MAD/quartiles): EXACT per-object order
-  statistics on the integer (uint16) intensity grid via two-level
-  256x256 histograms — level 1 bins ``v >> 8``, a second masked pass
-  bins ``v & 255`` inside each object's selected coarse bin, so rank
-  lookups resolve to the exact integer value (the same hierarchical
-  trick ``shape_extra.radius_features`` uses for MedianRadius).
+  statistics on the integer (uint16) intensity grid via hierarchical
+  16x16x16x16 histograms — each level bins 4 more bits of the code
+  inside the object's selected prefix from the previous level's CDF, so
+  rank lookups resolve to the exact integer value after 4 passes (the
+  same hierarchical trick ``shape_extra.radius_features`` uses for
+  MedianRadius; the 16-ary split minimizes MXU histogram columns, see
+  ``_two_level_ranks``).
   Histograms are one-hot MXU matmuls (``onehot_reduce.onehot_counts``:
   keyed scatters measured 0.125 vs 0.164 s/site), and all channels +
   rank queries contract against ONE label one-hot per pass. Float
@@ -82,17 +84,18 @@ def _rank_positions(n: jax.Array):
     return k_med, j25, pos25 - j25, j75, pos75 - j75
 
 
-def _rank_to_coarse(cum1: jax.Array, rank: jax.Array):
-    """cum1: (max_cells, 256, C) cumulative level-1 counts; rank
-    (max_cells,) 0-based. Returns (coarse bin (max_cells, C), rank
-    remaining within that bin)."""
-    r = rank[:, None, None].astype(jnp.float32)
-    sel = jnp.argmax(cum1 > r, axis=1).astype(jnp.int32)       # (max_cells, C)
+def _rank_step(cum: jax.Array, rank: jax.Array):
+    """cum: (max_cells, n_bins, C) cumulative per-level counts; rank
+    (max_cells, C) 0-based rank remaining, per channel. Returns (selected
+    bin (max_cells, C) int32, rank remaining within that bin
+    (max_cells, C) f32)."""
+    r = rank[:, None, :].astype(jnp.float32)
+    sel = jnp.argmax(cum > r, axis=1).astype(jnp.int32)        # (max_cells, C)
     below = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros_like(cum1[:, :1]), cum1], axis=1),
+        jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], axis=1),
         sel[:, None, :], axis=1,
     )[:, 0, :]                                                  # counts < sel bin
-    return sel, rank[:, None].astype(jnp.float32) - below
+    return sel, rank.astype(jnp.float32) - below
 
 
 @partial(jax.jit, static_argnames=("max_cells", "integer_grid"))
@@ -103,13 +106,13 @@ def quantile_intensity_features_mc(
     """Multichannel quantile intensities: (H, W, C) image -> dict of
     (max_cells, C), EXACT on the integer intensity grid.
 
-    Rank lookups run on two-level 256x256 histograms: a level-1 pass
-    bins ``v >> 8``; the object's coarse bin for each rank query is
-    selected from the level-1 CDF; a second masked pass bins ``v & 255``
-    only for pixels inside that coarse bin, so the rank resolves to the
-    exact integer intensity. All channels x rank queries share ONE label
-    one-hot per pixel chunk (onehot_counts) — the label one-hot is the
-    dominant HBM traffic, so extra histogram columns are near-free.
+    Rank lookups run on hierarchical 16-ary histograms (4 bits per
+    level): each level selects the object's code prefix per rank query
+    from the previous level's CDF and histograms the next 4 bits of the
+    code among pixels matching that prefix, so the rank resolves to the
+    exact integer intensity after 4 passes. All channels x rank queries
+    share ONE label one-hot per pixel chunk (onehot_counts); the pass
+    cost is MXU-bound in total histogram columns (see _two_level_ranks).
 
     Semantics (CP 4.2.8 MeasureObjectIntensity): median = lower-middle
     order statistic; quartiles = linear interpolation at ``(n-1)q``
@@ -120,8 +123,8 @@ def quantile_intensity_features_mc(
     (max_cells, C)) from kernels/fused_measure (only cnt is consumed on
     the integer path).
     ``ranges``: optional pregathered per-pixel (pmin, prange) each
-    (N, C) — used only by the ``integer_grid=False`` path (shared with
-    GLCM quantization).
+    (C, N) lane-major — used only by the ``integer_grid=False`` path
+    (shared with GLCM quantization).
     ``integer_grid=False``: same rank semantics on a per-object adaptive
     16-bit grid for images whose values do not sit on an integer grid
     (e.g. illum-corrected floats); error ≤ object range / 131070."""
@@ -131,11 +134,14 @@ def quantile_intensity_features_mc(
     flat = labels.reshape(-1).astype(jnp.int32)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1)
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
+    # (C, N) lane-major: per-pixel data rides the lane axis so every
+    # mxu_take_t row broadcasts against it with no full-size transpose
     vi = jnp.clip(
-        jnp.round(image.reshape(-1, n_ch).astype(jnp.float32)), 0.0, 65535.0
-    ).astype(jnp.int32)                               # (N, C) integer grid
+        jnp.round(jnp.moveaxis(image, -1, 0).reshape(n_ch, -1).astype(jnp.float32)),
+        0.0, 65535.0,
+    ).astype(jnp.int32)                               # (C, N) integer grid
 
     if stats is None:
         cnt = jax.ops.segment_sum(
@@ -156,8 +162,8 @@ def quantile_intensity_features_mc(
 
     # MAD: order statistic at the median index of |v - median| — integer
     # deviations, same two-level machinery
-    pmed = jnp.round(mxu_take(v_med, seg, max_cells)).astype(jnp.int32)
-    dev = jnp.abs(vi - pmed)
+    pmed = jnp.round(mxu_take_t(v_med, seg, max_cells)).astype(jnp.int32)
+    dev = jnp.abs(vi - pmed)                          # (C, N)
     (mad,) = _two_level_ranks(seg, inside, dev, [k_med], nm1, n_ch, max_cells)
 
     zero = (n <= 0)[:, None]
@@ -170,48 +176,70 @@ def quantile_intensity_features_mc(
     }
 
 
-def _two_level_ranks(seg, inside, codes16, ranks, nm1, n_ch, max_cells):
-    """Exact order statistics of 16-bit codes via two-level histograms.
+def _two_level_ranks(seg, inside, codes16, ranks, nm1, n_ch, max_cells,
+                     bits=(4, 4, 4, 4)):
+    """Exact order statistics of 16-bit codes via hierarchical histograms.
 
-    codes16: (N, C) int32 in [0, 65535]; ranks: list of (max_cells,)
-    int32 0-based rank queries. Level 1 bins ``code >> 8``; the object's
-    coarse bin per rank query is selected from the level-1 CDF; ONE fused
-    masked level-2 pass bins ``code & 255`` for every (rank, channel)
-    pair, so each rank resolves to the exact code. All histogram columns
-    contract against the same label one-hot per pixel chunk
-    (``onehot_counts``) — the one-hot is the dominant HBM traffic, so
-    extra columns are near-free. Returns [(max_cells, C) f32 codes, ...]
-    per rank."""
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+    codes16: (C, N) int32 in [0, 65535] (lane-major — pixels on the lane
+    axis); ranks: list of (max_cells,) int32 0-based rank queries. Level
+    1 bins the top ``bits[0]`` bits of the code; each subsequent level
+    gathers every object's selected prefix per rank query (one fused
+    ``mxu_take_t``, whose (Q·C, N) rows broadcast straight against the
+    per-pixel codes), masks pixels whose high bits match it, and
+    histograms the next ``bits[l]`` bits, so each rank resolves to the
+    exact integer code after ``len(bits)`` passes.
 
-    hi_col = codes16 >> 8
-    lo_col = codes16 & 255
+    The cost of an ``onehot_counts`` pass is MXU-flops-bound in its
+    total histogram columns (N × max_cells × columns MACs), so the split
+    is chosen to minimize columns: the former 256×256 two-level split
+    cost ``C×256 + Q×C×256`` columns (10,240 at 5 ch / 5+1 queries —
+    measured +0.25 s/site on the 1080² batch); the 16⁴ split costs
+    ``C×16 + 3×Q×C×16`` (~1,600), trading two extra cheap passes for
+    6× fewer columns. Returns [(max_cells, C) f32 codes, ...] per rank.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
+
+    assert sum(bits) == 16
+    nq = len(ranks)
+    shift = 16 - bits[0]
+    nb0 = 1 << bits[0]
     h1 = onehot_counts(
-        seg, [(hi_col[:, c], inside, 256) for c in range(n_ch)], max_cells
+        seg, [(codes16[c] >> shift, inside, nb0) for c in range(n_ch)],
+        max_cells,
     )
-    cum1 = jnp.cumsum(jnp.stack(h1, axis=-1), axis=1)  # (max_cells, 256, C)
-    sels, rems = [], []
+    cum1 = jnp.cumsum(jnp.stack(h1, axis=-1), axis=1)  # (max_cells, nb0, C)
+    prefix, rems = [], []
     for r in ranks:
-        s, rem = _rank_to_coarse(cum1, jnp.clip(r, 0, nm1))
-        sels.append(s)
-        rems.append(rem)
-    # one fused per-pixel lookup of every query's selected coarse bin
-    sel_tab = jnp.concatenate(sels, axis=1).astype(jnp.float32)
-    p_sel = jnp.round(mxu_take(sel_tab, seg, max_cells)).astype(jnp.int32)
-    codes = []
-    for qi in range(len(ranks)):
-        for c in range(n_ch):
-            m = inside & (hi_col[:, c] == p_sel[:, qi * n_ch + c])
-            codes.append((lo_col[:, c], m, 256))
-    h2 = onehot_counts(seg, codes, max_cells)
-    out = []
-    for qi, (s, rem) in enumerate(zip(sels, rems)):
-        cum2 = jnp.cumsum(
-            jnp.stack(h2[qi * n_ch : (qi + 1) * n_ch], axis=-1), axis=1
+        rr = jnp.broadcast_to(
+            jnp.clip(r, 0, nm1).astype(jnp.float32)[:, None], (max_cells, n_ch)
         )
-        fine = jnp.argmax(cum2 > rem[:, None, :], axis=1)  # (max_cells, C)
-        out.append((s * 256 + fine).astype(jnp.float32))
-    return out
+        s, rem = _rank_step(cum1, rr)
+        prefix.append(s)
+        rems.append(rem)
+
+    for b in bits[1:]:
+        nb = 1 << b
+        new_shift = shift - b
+        # one fused per-pixel lookup of every query's selected prefix
+        sel_tab = jnp.concatenate(prefix, axis=1).astype(jnp.float32)
+        p_sel = jnp.round(mxu_take_t(sel_tab, seg, max_cells)).astype(jnp.int32)
+        entries = []
+        for qi in range(nq):
+            for c in range(n_ch):
+                m = inside & ((codes16[c] >> shift) == p_sel[qi * n_ch + c])
+                entries.append(((codes16[c] >> new_shift) & (nb - 1), m, nb))
+        hs = onehot_counts(seg, entries, max_cells)
+        new_prefix, new_rems = [], []
+        for qi in range(nq):
+            cum = jnp.cumsum(
+                jnp.stack(hs[qi * n_ch : (qi + 1) * n_ch], axis=-1), axis=1
+            )
+            s, rem = _rank_step(cum, rems[qi])
+            new_prefix.append(prefix[qi] * nb + s)
+            new_rems.append(rem)
+        prefix, rems, shift = new_prefix, new_rems, new_shift
+
+    return [p.astype(jnp.float32) for p in prefix]
 
 
 def _quantile_adaptive_mc(
@@ -230,6 +258,9 @@ def _quantile_adaptive_mc(
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside = (labels > 0).reshape(-1)
     v = image.reshape(-1, n_ch).astype(jnp.float32)
+    # (C, N) lane-major twin for the per-pixel code construction (see
+    # quantile_intensity_features_mc) — same buffer, different view
+    v_t = jnp.moveaxis(image, -1, 0).reshape(n_ch, -1).astype(jnp.float32)
 
     if stats is None:
         cnt = jax.ops.segment_sum(
@@ -250,19 +281,19 @@ def _quantile_adaptive_mc(
     else:
         cnt, vmin, vmax = stats
     vrange = jnp.maximum(vmax - vmin, 1e-12)          # (max_cells, C)
-    from saguaro_tpu.kernels.onehot_reduce import mxu_take
+    from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
     if ranges is not None:
-        pmin, prange = ranges                         # (N, C) each
+        pmin, prange = ranges                         # (C, N) each
     else:
         # per-pixel range lookups as one matmul-take scan (full-size XLA
         # gathers run at ~1.7 GB/s on TPU — see onehot_reduce.mxu_take)
-        gq = mxu_take(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
-        pmin = gq[:, :n_ch]
-        prange = gq[:, n_ch:]
+        gq = mxu_take_t(jnp.concatenate([vmin, vrange], axis=1), seg, max_cells)
+        pmin = gq[:n_ch]
+        prange = gq[n_ch:]
     prange = jnp.maximum(prange, 1e-12)
-    t = jnp.clip((v - pmin) / prange, 0.0, 1.0)
-    codes = jnp.round(t * 65535.0).astype(jnp.int32)  # (N, C) adaptive grid
+    t = jnp.clip((v_t - pmin) / prange, 0.0, 1.0)
+    codes = jnp.round(t * 65535.0).astype(jnp.int32)  # (C, N) adaptive grid
 
     n = jnp.round(cnt).astype(jnp.int32)
     k_med, j25, f25, j75, f75 = _rank_positions(n)
@@ -278,8 +309,8 @@ def _quantile_adaptive_mc(
     hi = decode(c75lo) * (1.0 - f75[:, None]) + decode(c75hi) * f75[:, None]
 
     # MAD: |v - median| quantized on the same per-object grid scale
-    pmed = mxu_take(med, seg, max_cells)
-    dev = jnp.clip(jnp.abs(v - pmed) / prange, 0.0, 1.0)
+    pmed = mxu_take_t(med, seg, max_cells)            # (C, N)
+    dev = jnp.clip(jnp.abs(v_t - pmed) / prange, 0.0, 1.0)
     dcodes = jnp.round(dev * 65535.0).astype(jnp.int32)
     (c_mad,) = _two_level_ranks(seg, inside, dcodes, [k_med], nm1, n_ch, max_cells)
     mad = c_mad / 65535.0 * vrange

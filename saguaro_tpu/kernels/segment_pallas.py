@@ -1,0 +1,407 @@
+"""Pallas fused one-hot segment reductions — VMEM-resident one-hots.
+
+The XLA formulation in ``kernels/onehot_reduce`` routes per-object
+histograms / lookups through chunked one-hot matmuls, but XLA
+materializes the one-hot operands to HBM per chunk (device-profiled:
+a histogram pass costs ~8.1 ms/site FIXED at the measurement op point
+regardless of histogram columns or chunk size, and a chunk=N variant
+OOM'd on a 60 GB ``pred[8,1166400,6400]`` buffer — the one-hot compare
+output). The arithmetic itself is small: the label one-hot of a pixel
+tile is (max_cells, TILE) and never needs to exist outside VMEM.
+
+These kernels build BOTH one-hots in VMEM per pixel tile and contract
+them on the MXU, so HBM traffic is just labels + codes (a few MB per
+site instead of ~15 GB per pass).
+
+Mosaic requires the last two block dims to be (8k, 128k)-aligned, so
+pixels are blocked as ROWS=8 sublane rows of TILE lanes per grid step;
+the kernel unrolls the 8 rows into 8 MXU dots of contraction depth TILE.
+Every dot is kept in the canonical ``(m,k)×(k,n)`` MXU orientation: the
+histogram/sum kernels transpose only the tiny (ROWS, TILE) label tile
+per step (putting labels on sublanes for the one-hot rhs) and emit the
+TRANSPOSED (cols, max_cells) accumulator, which the wrappers flip back —
+a trivial XLA transpose of a per-object-sized array. Pixels otherwise
+stay on the lane axis, the TPU-compact orientation for narrow per-pixel
+data, which is also why ``seg_take_t_pallas`` returns the TRANSPOSED
+(K, N) gather.
+
+* ``seg_counts_pallas``  — fused per-label histograms
+  (= ``onehot_reduce.onehot_counts``; exact 0/1 bf16 products, f32
+  accumulation — bit-exact counts)
+* ``seg_take_t_pallas``  — per-pixel row gather of a small per-label
+  table (= ``onehot_reduce.mxu_take`` with output transposed)
+* ``seg_sums_pallas``    — per-label sums of real-valued lanes
+  (= ``onehot_reduce.segment_matmul_sums``) with the same bf16 hi/lo
+  split (f32-exact to the last ulp or two)
+
+Padding pixels carry label -1 (matches no one-hot row), so they
+contribute nothing.
+
+All wrappers carry a ``jax.custom_batching.custom_vmap`` rule: the
+measurement stack vmaps per-site programs over the site batch, and the
+rule maps that onto an explicit leading grid axis (Pallas' default
+batching of a revisited-accumulator grid would otherwise thread the
+accumulator state across batch elements).
+
+Dispatch: ``onehot_reduce`` routes here when running on a real TPU
+(``use_pallas()``); the XLA scan remains the CPU/test path, and
+``tests/test_segment_pallas.py`` pins Pallas-vs-XLA equality in
+interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+from jax.experimental import pallas as pl
+
+__all__ = [
+    "use_pallas",
+    "seg_counts_pallas",
+    "seg_take_t_pallas",
+    "seg_sums_pallas",
+]
+
+_ROWS = 8  # sublane rows per grid step (Mosaic block alignment)
+
+
+def use_pallas() -> bool:
+    """True when the default backend is a real TPU (Mosaic available).
+
+    ``SAGUARO_NO_PALLAS=1`` forces the XLA scan path everywhere — the
+    A/B and escape hatch for the ``onehot_reduce`` dispatch."""
+    import os
+
+    if os.environ.get("SAGUARO_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe
+        return False
+
+
+def _interpret() -> bool:
+    # unit tests exercise the kernels on CPU via the interpreter
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _tile_for(total_cols: int, max_cells: int) -> int:
+    """Lane width per row: keep the transient (max_cells, TILE) +
+    (total, TILE) bf16 one-hots + accumulator within a comfortable VMEM
+    budget while giving the MXU a ≥512-deep contraction. Budget is
+    deliberately under half the 16 MB scoped-VMEM limit: Mosaic also
+    stacks the iota/compare intermediates of the one-hot construction
+    and the revisited (total, max_cells) f32 output block (a 6 MB budget
+    OOM'd at 19.3/16 MB on the 3x512-column neighbor-counts launch)."""
+    budget = 3 * 1024 * 1024
+    per_lane = 2 * (total_cols + max_cells)  # bf16 one-hot columns
+    tile = budget // max(per_lane, 1)
+    tile = max(512, min(2048, tile))
+    return (tile // 128) * 128
+
+
+def _row_onehot(lab_row: jax.Array, max_cells: int) -> jax.Array:
+    """(1, TILE) int32 labels → (max_cells, TILE) bf16 one-hot (pixels
+    ride the lane axis; label -1 matches no row)."""
+    tile = lab_row.shape[-1]
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (max_cells, tile), 0) == lab_row
+    ).astype(jnp.bfloat16)
+
+
+def _prep_labels(labels: jax.Array, tile: int):
+    """(N,) labels → ((n_steps, ROWS, TILE) int32, n_pad)."""
+    n = labels.shape[0]
+    chunk = _ROWS * tile
+    n_pad = _pad_to(n, chunk)
+    lab = jnp.pad(labels.astype(jnp.int32), (0, n_pad - n), constant_values=-1)
+    return lab.reshape(n_pad // chunk, _ROWS, tile), n_pad
+
+
+# ---------------------------------------------------------------------------
+# fused histograms
+
+
+@functools.lru_cache(maxsize=None)
+def _counts_fn(sizes: tuple[int, ...], max_cells: int, tile: int):
+    total = sum(sizes)
+
+    def kernel(lab_ref, code_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        # ONE small transpose per step puts labels on sublanes so every
+        # dot below is the canonical (m,k)×(k,n) MXU form
+        lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, ROWS) int32
+        code = code_ref[0]  # (Q, ROWS*TILE) int16
+        for r in range(_ROWS):
+            # label one-hot, labels on sublanes: (TILE, max_cells)
+            a_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, max_cells), 1)
+                == lab_t[:, r : r + 1]
+            ).astype(jnp.bfloat16)
+            cols = []
+            for q, nb in enumerate(sizes):
+                c = code[q : q + 1, r * tile : (r + 1) * tile].astype(jnp.int32)
+                cols.append(
+                    (
+                        jax.lax.broadcasted_iota(jnp.int32, (nb, tile), 0) == c
+                    ).astype(jnp.bfloat16)
+                )
+            bmat = jnp.concatenate(cols, axis=0) if len(cols) > 1 else cols[0]
+            # (total, TILE) @ (TILE, max_cells) -> (total, max_cells);
+            # accumulate straight into the revisited VMEM output block
+            # (a separate acc doubled the (total, max_cells) f32 VMEM)
+            out_ref[0] += jax.lax.dot_general(
+                bmat,
+                a_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    def batched(lab4, code3):
+        bsz, n_steps = lab4.shape[0], lab4.shape[1]
+        nq = code3.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, _ROWS, tile), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((1, nq, _ROWS * tile), lambda b, i: (b, 0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, total, max_cells), lambda b, i: (b, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, total, max_cells), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(lab4, code3)
+
+    @custom_batching.custom_vmap
+    def f(lab3, code2):
+        return batched(lab3[None], code2[None])[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lab3, code2):
+        lab_b, code_b = in_batched
+        if not lab_b:
+            lab3 = jnp.broadcast_to(lab3, (axis_size,) + lab3.shape)
+        if not code_b:
+            code2 = jnp.broadcast_to(code2, (axis_size,) + code2.shape)
+        return batched(lab3, code2), True
+
+    return f
+
+
+_COL_CAP = 1024  # max histogram columns per pallas_call (VMEM accumulator)
+
+
+def seg_counts_pallas(
+    labels: jax.Array,
+    codes: list[tuple[jax.Array, jax.Array, int]],
+    max_cells: int,
+) -> list[jax.Array]:
+    """Drop-in for ``onehot_reduce.onehot_counts`` (same contract:
+    ``codes`` = [(code (N,), valid (N,) bool, n_codes)], invalid pixels
+    ride as code -1 → all-zero one-hot column). Entries are split into
+    column groups of ≤ ``_COL_CAP`` columns per kernel launch so the
+    (total, max_cells) VMEM accumulator stays within budget."""
+    # split the entry list into column groups under the cap
+    groups, cur, cur_cols = [], [], 0
+    for entry in codes:
+        nb = entry[2]
+        if cur and cur_cols + nb > _COL_CAP:
+            groups.append(cur)
+            cur, cur_cols = [], 0
+        cur.append(entry)
+        cur_cols += nb
+    groups.append(cur)
+    if len(groups) > 1:
+        outs = []
+        for grp in groups:
+            outs.extend(seg_counts_pallas(labels, grp, max_cells))
+        return outs
+
+    sizes = tuple(n for _, _, n in codes)
+    n = labels.shape[0]
+    tile = _tile_for(sum(sizes), max_cells)
+    lab, n_pad = _prep_labels(labels, tile)
+    code_arr = jnp.stack(
+        [
+            jnp.pad(
+                jnp.where(v, c.astype(jnp.int32), -1).astype(jnp.int16),
+                (0, n_pad - n),
+                constant_values=-1,
+            )
+            for c, v, _ in codes
+        ],
+        axis=0,
+    )  # (Q, N_pad): pixel axis on lanes — the TPU-compact orientation
+    g = _counts_fn(sizes, max_cells, tile)(lab, code_arr)
+    outs, off = [], 0
+    for nb in sizes:
+        outs.append(g[off : off + nb].T)
+        off += nb
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# per-pixel table gather (transposed output)
+
+
+@functools.lru_cache(maxsize=None)
+def _take_fn(max_cells: int, tile: int):
+    def kernel(tab_ref, lab_ref, out_ref):
+        lab = lab_ref[0, 0]  # (ROWS, TILE)
+        t = tab_ref[0]  # (K, max_cells) f32
+        t = jnp.where(jnp.isfinite(t) & (jnp.abs(t) < 3.38e38), t, 0.0)
+        hi = t.astype(jnp.bfloat16)
+        r1 = t - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        for r in range(_ROWS):
+            a = _row_onehot(lab[r : r + 1, :], max_cells)
+            dot = lambda m: jax.lax.dot_general(
+                m,
+                a,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, :, r * tile : (r + 1) * tile] = (
+                dot(hi) + dot(mid) + dot(lo)
+            )
+
+    def batched(tab3, lab4):
+        bsz, n_steps = lab4.shape[0], lab4.shape[1]
+        k = tab3.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, k, max_cells), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, 1, _ROWS, tile), lambda b, i: (b, i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, k, _ROWS * tile), lambda b, i: (b, 0, i)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, k, lab4.shape[1] * _ROWS * tile), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(tab3, lab4)
+
+    @custom_batching.custom_vmap
+    def f(tab2, lab3):
+        return batched(tab2[None], lab3[None])[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, tab2, lab3):
+        tab_b, lab_b = in_batched
+        if not tab_b:
+            tab2 = jnp.broadcast_to(tab2, (axis_size,) + tab2.shape)
+        if not lab_b:
+            lab3 = jnp.broadcast_to(lab3, (axis_size,) + lab3.shape)
+        return batched(tab2, lab3), True
+
+    return f
+
+
+def seg_take_t_pallas(
+    table: jax.Array, seg: jax.Array, max_cells: int
+) -> jax.Array:
+    """(max_cells, K) table + (N,) labels → (K, N) gathered values
+    (``jnp.take(table, seg, axis=0).T`` up to ~1 f32 ulp; non-finite and
+    >bf16-max table rows are zeroed, matching ``onehot_reduce``)."""
+    if table.ndim == 1:
+        table = table[:, None]
+    n = seg.shape[0]
+    tile = _tile_for(table.shape[1], max_cells)
+    lab, _ = _prep_labels(seg, tile)
+    out = _take_fn(max_cells, tile)(table.T.astype(jnp.float32), lab)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# per-label sums of real lanes
+
+
+@functools.lru_cache(maxsize=None)
+def _sums_fn(max_cells: int, k: int, tile: int):
+    def kernel(lab_ref, val_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        # labels on sublanes -> canonical (m,k)×(k,n) dots (see _counts_fn)
+        lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, ROWS)
+        v = val_ref[0]  # (K, ROWS*TILE) f32
+        for r in range(_ROWS):
+            a_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, max_cells), 1)
+                == lab_t[:, r : r + 1]
+            ).astype(jnp.bfloat16)
+            vr = v[:, r * tile : (r + 1) * tile]
+            hi = vr.astype(jnp.bfloat16)
+            lo = (vr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dot = lambda m: jax.lax.dot_general(
+                m,
+                a_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0] += dot(hi) + dot(lo)
+
+    def batched(lab4, val3):
+        bsz, n_steps = lab4.shape[0], lab4.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, _ROWS, tile), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((1, k, _ROWS * tile), lambda b, i: (b, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, k, max_cells), lambda b, i: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz, k, max_cells), jnp.float32),
+            interpret=_interpret(),
+        )(lab4, val3)
+
+    @custom_batching.custom_vmap
+    def f(lab3, val2):
+        return batched(lab3[None], val2[None])[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lab3, val2):
+        lab_b, val_b = in_batched
+        if not lab_b:
+            lab3 = jnp.broadcast_to(lab3, (axis_size,) + lab3.shape)
+        if not val_b:
+            val2 = jnp.broadcast_to(val2, (axis_size,) + val2.shape)
+        return batched(lab3, val2), True
+
+    return f
+
+
+def seg_sums_pallas(
+    labels: jax.Array, values: jax.Array, max_cells: int
+) -> jax.Array:
+    """(N,) labels + (N, K) f32 values → (max_cells, K) per-label sums
+    (= ``onehot_reduce.segment_matmul_sums``: bf16 hi/lo split, exact 0/1
+    label weights)."""
+    n, k = values.shape
+    tile = _tile_for(k, max_cells)
+    lab, n_pad = _prep_labels(labels, tile)
+    vals = jnp.pad(values.astype(jnp.float32).T, ((0, 0), (0, n_pad - n)))
+    return _sums_fn(max_cells, k, tile)(lab, vals).T

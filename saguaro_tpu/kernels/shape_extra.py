@@ -129,7 +129,7 @@ def radius_features(
     saturate (documented in docs/PARITY.md).
     """
     from saguaro_tpu.kernels.onehot_reduce import (
-        mxu_take,
+        mxu_take_t,
         onehot_counts,
         segment_matmul_sums,
     )
@@ -172,11 +172,11 @@ def radius_features(
     lo_before = take1(cum_before, lo_bin)
     hi_before = take1(cum_before, hi_bin)
     # per-pixel gather of its object's median coarse bins (MXU take scan)
-    bins_px = mxu_take(
+    bins_px = mxu_take_t(
         jnp.stack([lo_bin, hi_bin], axis=1).astype(jnp.float32), seg, max_cells
     )
-    in_lo = inside_m & (c_code == bins_px[:, 0].astype(jnp.int32))
-    in_hi = inside_m & (c_code == bins_px[:, 1].astype(jnp.int32))
+    in_lo = inside_m & (c_code == bins_px[0].astype(jnp.int32))
+    in_hi = inside_m & (c_code == bins_px[1].astype(jnp.int32))
     fine_lo, fine_hi = onehot_counts(
         seg, [(f_code, in_lo, _FINE), (f_code, in_hi, _FINE)], max_cells
     )

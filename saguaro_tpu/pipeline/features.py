@@ -214,18 +214,20 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         cnt_f, vmin_f, vmax_f = fused["stats"]
         if cfg.measure_quantiles or cfg.measure_texture:
             # ONE per-pixel (vmin, vrange) lookup scan shared by GLCM
-            # quantization AND the quantile histograms
-            from saguaro_tpu.kernels.onehot_reduce import mxu_take
+            # quantization AND the quantile histograms ((C, N) lane-major
+            # rows: mxu_take_t's Pallas path never materializes an (N, K)
+            # transpose, and the rows broadcast against per-pixel arrays)
+            from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
             lab32 = labels.astype(jnp.int32)
             seg_q = jnp.where(
                 (lab32 > 0) & (lab32 < cfg.max_cells), lab32, 0
             ).reshape(-1)
             vrange_f = jnp.maximum(vmax_f - vmin_f, 1e-12)
-            g_ranges = mxu_take(
+            g_ranges = mxu_take_t(
                 jnp.concatenate([vmin_f, vrange_f], axis=1), seg_q, cfg.max_cells
             )
-            px_ranges = (g_ranges[:, :n_ch], g_ranges[:, n_ch:])
+            px_ranges = (g_ranges[:n_ch], g_ranges[n_ch:])
         if cfg.measure_texture:
             # per-channel banded one-hot GLCM: measured faster than the
             # fused multichannel variant (whose (chunk, C*4L^2) one-hot
@@ -239,7 +241,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             for c in range(n_ch):
                 glcms = object_glcm(
                     image[..., c], labels, cfg.max_cells, cfg.glcm_levels,
-                    cfg.texture_scale, quantized=q_mc[..., c],
+                    cfg.texture_scale, quantized=q_mc[c],
                 )
                 har = haralick_features(glcms)  # each (4, max_cells)
                 for k in HARALICK_NAMES:

@@ -93,3 +93,24 @@ class TestMxuTake:
         np.testing.assert_array_equal(got[(sel != 3) & (sel != 5)], 7.0)
         np.testing.assert_array_equal(got[sel == 3], 0.0)
         np.testing.assert_array_equal(got[sel == 5], 0.0)
+
+
+class TestMxuTakeT:
+    def test_transposed_rows_match_take(self, rng, keys):
+        from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
+
+        table = jnp.asarray(rng.normal(500, 100, (CELLS, 3)).astype(np.float32))
+        got = np.asarray(mxu_take_t(table, keys, CELLS))
+        want = np.asarray(jnp.take(table, keys, axis=0)).T
+        assert got.shape == (3, 70000)
+        np.testing.assert_allclose(got, want, rtol=2e-7, atol=1e-4)
+
+    def test_1d_table_returns_one_row(self, rng, keys):
+        from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
+
+        table = jnp.asarray(rng.normal(0, 1, CELLS).astype(np.float32))
+        got = np.asarray(mxu_take_t(table, keys, CELLS))
+        assert got.shape == (1, 70000)
+        np.testing.assert_allclose(
+            got[0], np.asarray(jnp.take(table, keys)), rtol=2e-7, atol=1e-6
+        )

@@ -1,0 +1,141 @@
+"""Pallas segment reductions vs the XLA one-hot scan path.
+
+On CPU the kernels run in Pallas interpreter mode; on TPU the same code
+compiles through Mosaic. Equality targets the XLA implementations in
+``kernels/onehot_reduce`` (counts bit-exact; sums/takes to f32 ulps).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saguaro_tpu.kernels.onehot_reduce import (
+    mxu_take,
+    onehot_counts,
+    segment_matmul_sums,
+)
+from saguaro_tpu.kernels.segment_pallas import (
+    seg_counts_pallas,
+    seg_sums_pallas,
+    seg_take_t_pallas,
+)
+
+MC = 64
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    labels = jnp.asarray(rng.integers(0, 40, N).astype(np.int32))
+    codes = rng.integers(0, 16, (3, N)).astype(np.int32)
+    valid = rng.random((3, N)) > 0.3
+    values = jnp.asarray(rng.normal(size=(N, 5)).astype(np.float32) * 100)
+    table = jnp.asarray(rng.normal(size=(MC, 7)).astype(np.float32))
+    return labels, codes, valid, values, table
+
+
+class TestCounts:
+    def test_matches_xla_counts(self, data):
+        labels, codes, valid, _, _ = data
+        entries = [
+            (jnp.asarray(codes[q]), jnp.asarray(valid[q]), 16)
+            for q in range(3)
+        ]
+        ours = seg_counts_pallas(labels, entries, MC)
+        ref = onehot_counts(labels, entries, MC)
+        for a, b in zip(ours, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mixed_sizes(self, data):
+        labels, codes, valid, _, _ = data
+        entries = [
+            (jnp.asarray(codes[0]), jnp.asarray(valid[0]), 16),
+            (jnp.asarray(codes[1] * 13 % 256), jnp.asarray(valid[1]), 256),
+        ]
+        ours = seg_counts_pallas(labels, entries, MC)
+        ref = onehot_counts(labels, entries, MC)
+        for a, b in zip(ours, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_vmapped_batch(self, data):
+        labels, codes, valid, _, _ = data
+        lab_b = jnp.stack([labels, (labels + 7) % MC])
+        code_b = jnp.stack([jnp.asarray(codes[0]), jnp.asarray(codes[1])])
+        val_b = jnp.stack([jnp.asarray(valid[0]), jnp.asarray(valid[1])])
+
+        def one(l, c, v):
+            return seg_counts_pallas(l, [(c, v, 16)], MC)[0]
+
+        got = jax.vmap(one)(lab_b, code_b, val_b)
+        for i in range(2):
+            exp = onehot_counts(
+                lab_b[i], [(code_b[i], val_b[i], 16)], MC
+            )[0]
+            np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(exp))
+
+
+class TestTake:
+    def test_matches_take(self, data):
+        labels, _, _, _, table = data
+        got = seg_take_t_pallas(table, labels, MC)
+        exp = jnp.take(table, labels, axis=0).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), rtol=0, atol=1e-4
+        )
+
+    def test_matches_mxu_take(self, data):
+        labels, _, _, _, table = data
+        got = seg_take_t_pallas(table, labels, MC)
+        exp = mxu_take(table, labels, MC).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), rtol=0, atol=1e-4
+        )
+
+    def test_sentinel_rows_zeroed(self, data):
+        labels, _, _, _, table = data
+        t = table.at[3].set(jnp.inf).at[5].set(3.4e38)
+        got = seg_take_t_pallas(t, labels, MC)
+        mask = np.isin(np.asarray(labels), [3, 5])
+        np.testing.assert_array_equal(np.asarray(got)[:, mask], 0.0)
+
+    def test_vmapped(self, data):
+        labels, _, _, _, table = data
+        lab_b = jnp.stack([labels, (labels + 3) % MC])
+        got = jax.vmap(lambda l: seg_take_t_pallas(table, l, MC))(lab_b)
+        for i in range(2):
+            exp = jnp.take(table, lab_b[i], axis=0).T
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(exp), rtol=0, atol=1e-4
+            )
+
+
+class TestSums:
+    def test_matches_segment_matmul_sums(self, data):
+        labels, _, _, values, _ = data
+        got = seg_sums_pallas(labels, values, MC)
+        exp = segment_matmul_sums(labels, values, MC)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), rtol=1e-6, atol=1e-3
+        )
+
+    def test_matches_scatter_oracle(self, data):
+        labels, _, _, values, _ = data
+        got = seg_sums_pallas(labels, values, MC)
+        exp = jax.ops.segment_sum(values, labels, num_segments=MC)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), rtol=1e-5, atol=1e-2
+        )
+
+    def test_vmapped(self, data):
+        labels, _, _, values, _ = data
+        lab_b = jnp.stack([labels, (labels + 11) % MC])
+        val_b = jnp.stack([values, values * 2.0])
+        got = jax.vmap(lambda l, v: seg_sums_pallas(l, v, MC))(lab_b, val_b)
+        for i in range(2):
+            exp = jax.ops.segment_sum(val_b[i], lab_b[i], num_segments=MC)
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(exp), rtol=1e-5, atol=1e-2
+            )
