@@ -42,7 +42,8 @@ __all__ = ["fused_object_features"]
 _ORDERS = [(p, q) for p in range(4) for q in range(4)]
 
 
-def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None):
+def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None,
+               lane_fn_t=None, consts=()):
     """Chunked one-hot contraction with payload lanes built PER CHUNK.
 
     ``base``: list of (N,) / (N, C) per-pixel arrays; ``lane_fn(seg_c,
@@ -61,7 +62,25 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None)
     ~1 ulp of jnp.take) and passes the (chunk, K) block to lane_fn as its
     second argument — per-chunk XLA gathers run at ~1.7 GB/s on TPU
     (profiled 1.1 s/batch across the C2 scans); the matmul reuse is free.
+
+    ``lane_fn_t``: optional lane-major twin of lane_fn (bases arrive as
+    (TILE,) / (C, TILE) rows, returns (n_lanes, TILE)). When given and a
+    real TPU is the backend, the scan runs as the Pallas kernel
+    ``segment_pallas.seg_lane_sums_pallas`` — payload AND one-hots stay
+    in VMEM (the XLA scan's one-hot materialization held ~390 ms/batch
+    of while overhead at the 5-ch op point, device-profiled).
     """
+    if lane_fn_t is not None:
+        from saguaro_tpu.kernels.segment_pallas import (
+            seg_lane_sums_pallas,
+            use_pallas,
+        )
+
+        if use_pallas():
+            return seg_lane_sums_pallas(
+                seg, base, lane_fn_t, n_lanes, max_cells, tables=tables,
+                consts=consts,
+            )
     n = seg.shape[0]
     n_pad = (-n) % chunk
     seg_f = jnp.pad(seg, (0, n_pad))
@@ -80,17 +99,23 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None)
         base_c = [jax.lax.dynamic_slice_in_dim(v, sl, chunk) for v in base_f]
         lab_oh = jax.nn.one_hot(seg_c, max_cells, dtype=jnp.bfloat16)
         if tables is not None:
+            from saguaro_tpu.kernels.onehot_reduce import _summed_dots
+
             take = lambda t: jax.lax.dot_general(
                 lab_oh,
                 t,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            gathered = take(t_hi) + take(t_mid) + take(t_lo)
+            gathered = _summed_dots(take, t_hi, t_mid, t_lo)
             payload = lane_fn(seg_c, gathered, *base_c).astype(jnp.float32)
         else:
             payload = lane_fn(seg_c, *base_c).astype(jnp.float32)
-        hi = payload.astype(jnp.bfloat16)
+        from saguaro_tpu.kernels.onehot_reduce import _summed_dots
+
+        # barrier: see onehot_reduce._bf16_split3 (excess-precision
+        # residual cancellation)
+        hi = jax.lax.optimization_barrier(payload.astype(jnp.bfloat16))
         lo = (payload - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dot = lambda v: jax.lax.dot_general(
             lab_oh,
@@ -98,7 +123,7 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return s + dot(hi) + dot(lo), None
+        return s + _summed_dots(dot, hi, lo), None
 
     s0 = jnp.zeros((max_cells, n_lanes), jnp.float32)
     s, _ = jax.lax.scan(body, s0, jnp.arange(n_chunks))
@@ -173,9 +198,19 @@ def fused_object_features(
             cols.append(vr_c * b_c[:, None])
         return _cat(cols)
 
+    def lanes_a_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, pw_c, vr_c):
+        # lane-major twin of lanes_a_fn ((C, TILE) blocks, same order)
+        v_c = vr_c * in_c
+        rows = [in_c[None], (y_c * in_c)[None], (x_c * in_c)[None],
+                b_c[None], pw_c[None], v_c, y_c * v_c, x_c * v_c]
+        if with_edge:
+            rows.append(vr_c * b_c)
+        return jnp.concatenate(rows, axis=0)
+
     n_lanes_a = 5 + 3 * n_ch + (n_ch if with_edge else 0)
     sums_a = _lane_scan(
-        seg, [inside, yf, xf, boundary, pweight, vr], lanes_a_fn, n_lanes_a, max_cells
+        seg, [inside, yf, xf, boundary, pweight, vr], lanes_a_fn, n_lanes_a,
+        max_cells, lane_fn_t=lanes_a_fn_t,
     )
     cnt, sy, sx, edge_cnt, perim = (sums_a[:, i] for i in range(5))
     o = 5
@@ -359,10 +394,79 @@ def fused_object_features(
                 cols.append(v_c * mask[:, None])
         return _cat(cols)
 
+    def lanes_c_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, vr_c):
+        # lane-major twin of lanes_c_fn: g is (K, TILE), vr_c (C, TILE);
+        # consts = (zernike radial coeffs (30, 10),) ride as kernel
+        # inputs (Pallas can't capture traced constants)
+        dy_c = y_c - g[0]
+        dx_c = x_c - g[1]
+        yc = dy_c * in_c
+        xc = dx_c * in_c
+
+        def powers(base_):
+            b2 = base_ * base_
+            return [in_c, base_, b2, b2 * base_]
+
+        ycp, xcp = powers(yc), powers(xc)
+        rows = [(ycp[p] * xcp[q])[None] for p, q in central_orders]
+        if with_moments:
+            ybl = (y_c - g[o_bbox]) * in_c
+            xbl = (x_c - g[o_bbox + 1]) * in_c
+            ybp, xbp = powers(ybl), powers(xbl)
+            rows += [(ybp[p] * xbp[q])[None] for p, q in bbox_orders]
+        if need_rmax:
+            dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
+            inv_rmax = 1.0 / jnp.maximum(g[o_rmax], 1e-6)
+        if with_zernike:
+            (coeffs30x10,) = consts
+            rho = jnp.minimum(dist_c * inv_rmax, 1.0)
+            rpow = jnp.stack([rho**k for k in range(10)], axis=0)  # (10, T)
+            radials = jnp.dot(
+                coeffs30x10, rpow,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (30, T)
+            # cos(m·θ)/sin(m·θ) by the angle-addition recurrence on
+            # (cosθ, sinθ) = (dx, dy)/dist — Mosaic has no atan2/trig
+            # lowering, and none is needed. At dist=0 both come out 0
+            # (vs cos(0)=1 for XLA's atan2 path), where every m>0 radial
+            # is 0 anyway and m=0 uses the constant cos row.
+            inv_d = jnp.where(dist_c > 0.0, 1.0 / jnp.maximum(dist_c, 1e-30), 0.0)
+            ct, st = dx_c * inv_d, dy_c * inv_d
+            cms, sms = [jnp.ones_like(ct)], [jnp.zeros_like(ct)]
+            for _m in range(1, 10):
+                c_new = ct * cms[-1] - st * sms[-1]
+                s_new = st * cms[-1] + ct * sms[-1]
+                cms.append(c_new)
+                sms.append(s_new)
+            m_list = [m for _, m in ZERNIKE_INDEXES]
+            cos_sel = jnp.stack([cms[m] for m in m_list], axis=0)  # (30, T)
+            sin_sel = jnp.stack([sms[m] for m in m_list], axis=0)
+            rows.append(radials * cos_sel * in_c)
+            rows.append(radials * sin_sel * in_c)
+        vc = (vr_c - g[o_mean : o_mean + n_ch]) * in_c
+        rows.append(vc * vc)
+        if pairs:
+            rows.append(jnp.stack([vc[a] * vc[b] for a, b in pairs], axis=0))
+        if with_edge:
+            ec = (vr_c - g[o_emean : o_emean + n_ch]) * b_c
+            rows.append(ec * ec)
+        if with_radial:
+            ring_c = jnp.clip(
+                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
+            )
+            v_c = vr_c * in_c
+            for r in range(n_rings):
+                mask = (ring_c == r).astype(jnp.float32)
+                rows.append((in_c * mask)[None])
+                rows.append(v_c * mask)
+        return jnp.concatenate(rows, axis=0)
+
     n_lanes_c = sum(n for _, n in spec_c)
+    consts_c = (coeffs_t.T,) if with_zernike else ()
     sums_c = _lane_scan(
         seg, [inside, yf, xf, boundary, vr], lanes_c_fn, n_lanes_c, max_cells,
-        tables=tables_c,
+        tables=tables_c, lane_fn_t=lanes_c_fn_t, consts=consts_c,
     )
     parts = {}
     off = 0

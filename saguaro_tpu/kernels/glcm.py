@@ -65,7 +65,17 @@ def quantize_channels(image, labels, max_cells, levels, stats=None, ranges=None)
     else:
         from saguaro_tpu.kernels.onehot_reduce import mxu_take_t
 
-        vmin, vmax = stats
+        if stats is None:
+            from saguaro_tpu.kernels.segment_reduce import segment_stats
+
+            per_ch = [
+                segment_stats(image[..., c], labels, max_cells)
+                for c in range(n_ch)
+            ]
+            vmin = jnp.stack([s[3] for s in per_ch], axis=1)
+            vmax = jnp.stack([s[4] for s in per_ch], axis=1)
+        else:
+            vmin, vmax = stats
         lab32 = labels.astype(jnp.int32)
         lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
         vrange = jnp.maximum(vmax - vmin, 1e-12)
@@ -167,52 +177,20 @@ def object_glcm(
         lab, inside, q = _quantize(image, labels, max_cells, levels, stats)
     codes, oks = _direction_codes(lab, inside, q, levels, distance)
 
-    n = lab.size
-    n_pad = (-n) % chunk
-    lab_f = jnp.pad(lab.reshape(-1), (0, n_pad))
-    # merge the 4 directions' codes/validity into ONE (N, 4) int16 array:
-    # invalid pixels carry code -1 (one_hot of an out-of-range index is a
-    # zero row), so no separate validity array — the code stack is this
-    # kernel's HBM-resident intermediate and int16 halves it
-    codes_f = jnp.stack(
-        [
-            jnp.pad(
-                jnp.where(o, c % L2, -1).astype(jnp.int16).reshape(-1),
-                (0, n_pad),
-                constant_values=-1,
-            )
-            for c, o in zip(codes, oks)
-        ],
-        axis=1,
+    # all 4 directions' co-occurrence histograms contract against ONE
+    # label one-hot per pixel chunk (onehot_reduce.onehot_counts — on a
+    # real TPU this dispatches to the Pallas VMEM-resident kernel; the
+    # former in-function XLA scan held 1.0 s/batch of scan overhead +
+    # 0.78 s of dots at the 5-ch op point, device-profiled)
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
+    hs = onehot_counts(
+        lab.reshape(-1),
+        [((c % L2).reshape(-1), o.reshape(-1), L2) for c, o in zip(codes, oks)],
+        max_cells,
+        chunk=chunk,
     )
-    n_chunks = (n + n_pad) // chunk
-
-    def body(carry, idx):
-        g = carry
-        sl = idx * chunk
-        lab_c = jax.lax.dynamic_slice_in_dim(lab_f, sl, chunk)
-        code_c = jax.lax.dynamic_slice_in_dim(codes_f, sl, chunk).astype(jnp.int32)
-        lab_oh = jax.nn.one_hot(lab_c, max_cells, dtype=jnp.bfloat16)
-        # per-direction band one-hots, concatenated: (chunk, 4*L2) without
-        # materializing a (chunk, 4, 4*L2) intermediate
-        pq_oh = jnp.concatenate(
-            [
-                jax.nn.one_hot(code_c[:, d], L2, dtype=jnp.bfloat16)
-                for d in range(4)
-            ],
-            axis=1,
-        )
-        g = g + jax.lax.dot_general(
-            lab_oh,
-            pq_oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return g, None
-
-    g0 = jnp.zeros((max_cells, 4 * L2), jnp.float32)
-    g, _ = jax.lax.scan(body, g0, jnp.arange(n_chunks))
-    counts = g.reshape(max_cells, 4, levels, levels).transpose(1, 0, 2, 3)
+    counts = jnp.stack(hs, axis=0).reshape(4, max_cells, levels, levels)
     sym = counts + jnp.swapaxes(counts, 2, 3)
     total = jnp.sum(sym, axis=(2, 3), keepdims=True)
     return sym / jnp.maximum(total, 1e-12)
@@ -226,61 +204,36 @@ def object_glcm_multichannel(
     levels: int = 16,
     distance: int = 3,
     chunk: int = 32768,
+    quantized=None,
 ) -> jax.Array:
     """(H, W, C) image + labels -> (C, 4, max_cells, L, L) GLCMs.
 
-    All channels share one label one-hot per pixel chunk and contract in a
-    single (chunk x max_cells)^T @ (chunk x C*4L^2) matmul — C times fewer
-    one-hot builds than per-channel calls and better MXU shapes.
+    All channels × directions ride ONE ``onehot_counts`` call (shared
+    label one-hot per pixel chunk; Pallas VMEM kernel on a real TPU,
+    which splits the C·4·L² columns into ≤1024-column launches).
+
+    ``quantized``: optional precomputed (C, H, W) gray-level codes from
+    ``quantize_channels`` — skips the per-channel range-lookup scans.
     """
     n_ch = image.shape[-1]
     L2 = levels * levels
-    per_ch = []
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
     lab32 = labels.astype(jnp.int32)
     lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
+    entries = []
     for c in range(n_ch):
-        lab_c, inside, q = _quantize(image[..., c], labels, max_cells, levels)
-        codes, oks = _direction_codes(lab_c, inside, q, levels, distance)
-        per_ch.append((codes, oks))
-
-    n = lab.size
-    n_pad = (-n) % chunk
-    lab_f = jnp.pad(lab.reshape(-1), (0, n_pad))
-    codes_f = [
-        [jnp.pad(c.reshape(-1), (0, n_pad)) for c in codes]
-        for codes, _ in per_ch
-    ]
-    oks_f = [
-        [jnp.pad(o.reshape(-1), (0, n_pad), constant_values=False) for o in oks]
-        for _, oks in per_ch
-    ]
-    n_chunks = (n + n_pad) // chunk
-
-    def body(carry, idx):
-        g = carry
-        sl = idx * chunk
-        lab_oh = jax.nn.one_hot(
-            jax.lax.dynamic_slice_in_dim(lab_f, sl, chunk), max_cells, dtype=jnp.bfloat16
+        if quantized is not None:
+            inside, q = labels > 0, quantized[c]
+        else:
+            _, inside, q = _quantize(image[..., c], labels, max_cells, levels)
+        codes, oks = _direction_codes(lab, inside, q, levels, distance)
+        entries.extend(
+            ((cd % L2).reshape(-1), o.reshape(-1), L2)
+            for cd, o in zip(codes, oks)
         )
-        cols = []
-        for c in range(n_ch):
-            for d in range(4):
-                code_c = jax.lax.dynamic_slice_in_dim(codes_f[c][d], sl, chunk)
-                ok_c = jax.lax.dynamic_slice_in_dim(oks_f[c][d], sl, chunk)
-                cols.append(
-                    jax.nn.one_hot(code_c % L2, L2, dtype=jnp.bfloat16)
-                    * ok_c[:, None].astype(jnp.bfloat16)
-                )
-        pq_oh = jnp.concatenate(cols, axis=1)  # (chunk, C*4*L2)
-        g = g + jax.lax.dot_general(
-            lab_oh, pq_oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return g, None
-
-    g0 = jnp.zeros((max_cells, n_ch * 4 * L2), jnp.float32)
-    g, _ = jax.lax.scan(body, g0, jnp.arange(n_chunks))
+    hs = onehot_counts(lab.reshape(-1), entries, max_cells, chunk=chunk)
+    g = jnp.concatenate(hs, axis=1)  # (max_cells, C*4*L2)
     counts = g.reshape(max_cells, n_ch, 4, levels, levels).transpose(1, 2, 0, 3, 4)
     sym = counts + jnp.swapaxes(counts, 3, 4)
     total = jnp.sum(sym, axis=(3, 4), keepdims=True)

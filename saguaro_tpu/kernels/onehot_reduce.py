@@ -61,11 +61,38 @@ def _bf16_split3(table: jax.Array):
     indexed rows. Rows of absent labels are masked downstream anyway."""
     t = table.astype(jnp.float32)
     t = jnp.where(jnp.isfinite(t) & (jnp.abs(t) < 3.38e38), t, 0.0)
-    hi = t.astype(jnp.bfloat16)
+    # CRITICAL: every bf16 rounding step hides behind an optimization
+    # barrier. This environment's forced --xla_allow_excess_precision
+    # lets XLA:TPU treat f32(bf16(t)) as t in fused contexts, so the
+    # residual r1 = t - f32(bf16(t)) simplifies to 0 and the gather
+    # degrades to bf16(t). Device-reproduced: a fused measure program
+    # gathered 2112.0 from a table row holding 2119.0 (= bf16(2119)),
+    # emptying every at_max candidate set and returning corner
+    # coordinates for Location_MaxIntensity; standalone jits of the same
+    # code were exact (the rewrite fires only in larger fusions).
+    hi = jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
     r1 = t - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
+
+
+def _summed_dots(dot, *terms):
+    """Σ_i dot(term_i) with each partial kept behind an optimization
+    barrier. CRITICAL: XLA:TPU's algebraic simplifier merges shared-lhs
+    dots A@B + A@C into A@(B+C) with the add computed IN BF16 —
+    collapsing the hi/mid/lo split back to bf16(t). Device-reproduced: a
+    fused measure program gathered 2112.0 from a table row holding
+    2119.0 (= bf16(2119)), emptying every at_max candidate set and
+    returning corner coordinates for Location_MaxIntensity (standalone
+    jits were unaffected — the rewrite fires in larger fusion contexts).
+    Barriers on the dot RESULTS block the pattern; barriers on the split
+    terms do not (the simplifier builds the bf16 add fresh)."""
+    parts = jax.lax.optimization_barrier(tuple(dot(t) for t in terms))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
 
 
 @partial(jax.jit, static_argnames=("max_cells", "chunk"))
@@ -105,7 +132,7 @@ def mxu_take(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return None, dot(hi) + dot(mid) + dot(lo)
+        return None, _summed_dots(dot, hi, mid, lo)
 
     _, ys = jax.lax.scan(body, None, jnp.arange(n_chunks))
     return ys.reshape(n + n_pad, table.shape[1])[:n]
@@ -229,12 +256,23 @@ def segment_matmul_sums(
     construction into the matmul; f32 one-hots defeat the fusion and
     materialize to HBM). f32 value precision is preserved by the hi/lo
     bf16 split: v = hi + lo with both halves summed separately.
+
+    On a real TPU this dispatches to the Pallas VMEM-resident kernel
+    (``segment_pallas.seg_sums_pallas`` — same hi/lo split and scan
+    order; equality-tested in interpreter mode).
     """
+    from saguaro_tpu.kernels.segment_pallas import seg_sums_pallas, use_pallas
+
+    if use_pallas():
+        return seg_sums_pallas(labels, values, max_cells)
     n, k = values.shape
     n_pad = (-n) % chunk
     lab_f = jnp.pad(labels.astype(jnp.int32), (0, n_pad))
     val_f = jnp.pad(values.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    hi = val_f.astype(jnp.bfloat16)
+    # barrier: the forced --xla_allow_excess_precision would otherwise
+    # simplify the residual to 0 (see _bf16_split3), degrading sums to
+    # bf16 precision
+    hi = jax.lax.optimization_barrier(val_f.astype(jnp.bfloat16))
     lo = (val_f - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     n_chunks = (n + n_pad) // chunk
 
@@ -249,7 +287,7 @@ def segment_matmul_sums(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s + dot(hi) + dot(lo)
+        s = s + _summed_dots(dot, hi, lo)
         return s, None
 
     s0 = jnp.zeros((max_cells, k), jnp.float32)

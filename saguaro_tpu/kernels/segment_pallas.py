@@ -63,6 +63,7 @@ __all__ = [
     "seg_counts_pallas",
     "seg_take_t_pallas",
     "seg_sums_pallas",
+    "seg_lane_sums_pallas",
 ]
 
 _ROWS = 8  # sublane rows per grid step (Mosaic block alignment)
@@ -72,11 +73,15 @@ def use_pallas() -> bool:
     """True when the default backend is a real TPU (Mosaic available).
 
     ``SAGUARO_NO_PALLAS=1`` forces the XLA scan path everywhere — the
-    A/B and escape hatch for the ``onehot_reduce`` dispatch."""
+    A/B and escape hatch for the ``onehot_reduce`` dispatch.
+    ``SAGUARO_FORCE_PALLAS=1`` forces the Pallas path on CPU (interpreter
+    mode) so tests can pin Pallas-vs-XLA equality at the dispatch sites."""
     import os
 
     if os.environ.get("SAGUARO_NO_PALLAS"):
         return False
+    if os.environ.get("SAGUARO_FORCE_PALLAS"):
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - backend probe
@@ -405,3 +410,183 @@ def seg_sums_pallas(
     lab, n_pad = _prep_labels(labels, tile)
     vals = jnp.pad(values.astype(jnp.float32).T, ((0, 0), (0, n_pad - n)))
     return _sums_fn(max_cells, k, tile)(lab, vals).T
+
+
+# ---------------------------------------------------------------------------
+# generic lane scan: payload lanes built IN-KERNEL per pixel tile
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_sums_fn(
+    lane_fn_t, base_spec: tuple[int, ...], n_lanes: int, k_tab: int,
+    const_shapes: tuple[tuple[int, int], ...], max_cells: int, tile: int,
+):
+    """``lane_fn_t(lab_row (TILE,) i32, gathered (K, TILE) f32 | None,
+    consts, *base rows) -> (n_lanes, TILE) f32`` — the transposed
+    (lane-major) twin of ``fused_measure._lane_scan``'s lane_fn, traced
+    INSIDE the kernel so neither the payload nor the one-hots ever leave
+    VMEM. ``base_spec``: per base array, its row count (1 for (N,), C
+    for (N, C)). ``k_tab``: gathered table columns (0 = no tables).
+    ``const_shapes``: shapes of small 2-D constant tables the lane fn
+    needs (Pallas kernels cannot capture traced constants — they ride as
+    explicit whole-array inputs)."""
+    n_const = len(const_shapes)
+
+    def kernel(*refs):
+        lab_ref, base_ref = refs[0], refs[1]
+        off = 2
+        tab_ref = refs[off] if k_tab else None
+        off += 1 if k_tab else 0
+        const_refs = refs[off : off + n_const]
+        out_ref = refs[-1]
+        consts = tuple(c[...] for c in const_refs)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, ROWS)
+        basev = base_ref[0]  # (KB, ROWS*TILE) f32
+        if tab_ref is not None:
+            tt = tab_ref[0]  # (3K, max_cells) f32 holding exact-bf16 values
+            t_hi = tt[:k_tab].astype(jnp.bfloat16)
+            t_mid = tt[k_tab : 2 * k_tab].astype(jnp.bfloat16)
+            t_lo = tt[2 * k_tab :].astype(jnp.bfloat16)
+        for r in range(_ROWS):
+            lab_row = lab_t[:, r]  # (TILE,)
+            # both one-hot orientations from two iota compares (no
+            # in-kernel transpose): a for the (K, mc) @ (mc, TILE)
+            # gather, a_t for the (n_lanes, TILE) @ (TILE, mc) sums
+            a_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (tile, max_cells), 1)
+                == lab_row[:, None]
+            ).astype(jnp.bfloat16)
+            dot = lambda m, n_: jax.lax.dot_general(
+                m, n_,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if tab_ref is not None:
+                a = (
+                    jax.lax.broadcasted_iota(jnp.int32, (max_cells, tile), 0)
+                    == lab_row[None, :]
+                ).astype(jnp.bfloat16)
+                gathered = dot(t_hi, a) + dot(t_mid, a) + dot(t_lo, a)
+            else:
+                gathered = None
+            rows = basev[:, r * tile : (r + 1) * tile]
+            args, boff = [], 0
+            for nb in base_spec:
+                args.append(rows[boff] if nb == 1 else rows[boff : boff + nb])
+                boff += nb
+            payload = lane_fn_t(
+                lab_row, gathered, consts, *args
+            ).astype(jnp.float32)
+            hi = payload.astype(jnp.bfloat16)
+            lo = (payload - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[0] += dot(hi, a_t) + dot(lo, a_t)
+
+    def batched(lab4, base3, tab3, *consts):
+        bsz = lab4.shape[0]
+        kb = base3.shape[1]
+        in_specs = [
+            pl.BlockSpec((1, 1, _ROWS, tile), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, kb, _ROWS * tile), lambda b, i: (b, 0, i)),
+        ]
+        ins = [lab4, base3]
+        if k_tab:
+            in_specs.append(
+                pl.BlockSpec((1, 3 * k_tab, max_cells), lambda b, i: (b, 0, 0))
+            )
+            ins.append(tab3)
+        for c in consts:
+            in_specs.append(pl.BlockSpec(c.shape, lambda b, i: (0, 0)))
+            ins.append(c)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, lab4.shape[1]),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, n_lanes, max_cells), lambda b, i: (b, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, n_lanes, max_cells), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(*ins)
+
+    @custom_batching.custom_vmap
+    def f(lab3, base2, tab2, *consts):
+        return batched(lab3[None], base2[None], tab2[None], *consts)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, lab3, base2, tab2, *consts):
+        lab_b, base_b, tab_b = in_batched[:3]
+        if not lab_b:
+            lab3 = jnp.broadcast_to(lab3, (axis_size,) + lab3.shape)
+        if not base_b:
+            base2 = jnp.broadcast_to(base2, (axis_size,) + base2.shape)
+        if not tab_b:
+            tab2 = jnp.broadcast_to(tab2, (axis_size,) + tab2.shape)
+        # consts are per-call constants — never batched
+        return batched(lab3, base2, tab2, *consts), True
+
+    return f
+
+
+def seg_lane_sums_pallas(
+    seg: jax.Array,
+    base: list[jax.Array],
+    lane_fn_t,
+    n_lanes: int,
+    max_cells: int,
+    tables: jax.Array | None = None,
+    consts: tuple[jax.Array, ...] = (),
+) -> jax.Array:
+    """Fused lane scan: per-label sums of payload lanes built in-VMEM.
+
+    ``base``: list of (N,) / (N, C) f32 per-pixel arrays; ``lane_fn_t``
+    must be a HASHABLE (module-level or functools.partial-of-module-
+    level) function taking ``(lab_row, gathered, consts, *base_rows)``
+    with (N,) bases arriving as (TILE,) rows and (N, C) bases as
+    (C, TILE) blocks, returning (n_lanes, TILE) — the lane-major twin of
+    ``fused_measure._lane_scan``'s lane_fn. ``tables``: optional
+    (max_cells, K) f32 gathered per pixel inside the kernel with its own
+    label one-hot (3-term bf16 split, as ``onehot_reduce.mxu_take``).
+    ``consts``: small 1-D/2-D constant tables handed to lane_fn_t (a
+    Pallas kernel cannot capture traced constants; 1-D consts arrive as
+    (1, n) rows). Returns (max_cells, n_lanes)."""
+    base_spec = tuple(1 if v.ndim == 1 else v.shape[1] for v in base)
+    kb = sum(base_spec)
+    k_tab = 0 if tables is None else tables.shape[1]
+    tile = _tile_for(n_lanes + kb + k_tab, max_cells)
+    n = seg.shape[0]
+    lab, n_pad = _prep_labels(seg, tile)
+    packed = jnp.concatenate(
+        [
+            (v[:, None] if v.ndim == 1 else v).astype(jnp.float32).T
+            for v in base
+        ],
+        axis=0,
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
+    if tables is None:
+        tab = jnp.zeros((0, max_cells), jnp.float32)
+    else:
+        from saguaro_tpu.kernels.onehot_reduce import _bf16_split3
+
+        t_hi, t_mid, t_lo = _bf16_split3(tables.T)
+        tab = jnp.concatenate(
+            [t_hi.astype(jnp.float32), t_mid.astype(jnp.float32),
+             t_lo.astype(jnp.float32)],
+            axis=0,
+        )
+    consts2d = tuple(
+        (c[None] if c.ndim == 1 else c).astype(jnp.float32) for c in consts
+    )
+    f = _lane_sums_fn(
+        lane_fn_t, base_spec, n_lanes, k_tab,
+        tuple(c.shape for c in consts2d), max_cells, tile,
+    )
+    return f(lab, packed, tab, *consts2d).T

@@ -31,7 +31,6 @@ import pandas as pd
 from saguaro_tpu.kernels.glcm import (
     HARALICK_NAMES,
     haralick_features,
-    object_glcm,
 )
 from saguaro_tpu.kernels.objects_extra import (
     neighbor_features,
@@ -229,21 +228,26 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             )
             px_ranges = (g_ranges[:n_ch], g_ranges[n_ch:])
         if cfg.measure_texture:
-            # per-channel banded one-hot GLCM: measured faster than the
-            # fused multichannel variant (whose (chunk, C*4L^2) one-hot
-            # blows HBM traffic); object_glcm_multichannel remains
-            # available for small channel counts.
-            from saguaro_tpu.kernels.glcm import quantize_channels
+            # fused multichannel GLCM: every channel x direction
+            # co-occurrence histogram contracts against ONE label one-hot
+            # per pixel chunk (onehot_counts -> Pallas VMEM kernel on a
+            # real TPU). The former per-channel XLA scans held 2.0
+            # s/batch at the 5-ch op point (device-profiled) — the
+            # one-hot materialization, not the dots, was the cost.
+            from saguaro_tpu.kernels.glcm import (
+                object_glcm_multichannel,
+                quantize_channels,
+            )
 
             q_mc = quantize_channels(
                 image, labels, cfg.max_cells, cfg.glcm_levels, ranges=px_ranges
             )
+            glcms_mc = object_glcm_multichannel(
+                image, labels, cfg.max_cells, cfg.glcm_levels,
+                cfg.texture_scale, quantized=q_mc,
+            )
             for c in range(n_ch):
-                glcms = object_glcm(
-                    image[..., c], labels, cfg.max_cells, cfg.glcm_levels,
-                    cfg.texture_scale, quantized=q_mc[c],
-                )
-                har = haralick_features(glcms)  # each (4, max_cells)
+                har = haralick_features(glcms_mc[c])  # each (4, max_cells)
                 for k in HARALICK_NAMES:
                     for d in range(4):
                         feats[

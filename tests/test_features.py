@@ -525,3 +525,49 @@ class TestIntegerGridAutoResolve:
         assert _resolve_integer_grid(
             forced, np.zeros((4, 4, 1), np.float32)
         ).integer_intensity_grid is True
+
+
+class TestGlcmMultichannelEquality:
+    def test_matches_per_channel_object_glcm(self):
+        import jax.numpy as jnp
+
+        from saguaro_tpu.kernels.glcm import (
+            object_glcm_multichannel,
+            quantize_channels,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.normal(100, 30, (48, 48, 3)).astype(np.float32)
+        labels = np.zeros((48, 48), np.int32)
+        labels[4:20, 6:28] = 1
+        labels[26:44, 10:40] = 2
+        img_j = jnp.asarray(img)
+        lab_j = jnp.asarray(labels)
+        got = np.asarray(
+            object_glcm_multichannel(img_j, lab_j, max_cells=4, levels=8, distance=1)
+        )
+        for c in range(3):
+            exp = np.asarray(
+                object_glcm(img_j[..., c], lab_j, max_cells=4, levels=8, distance=1)
+            )
+            np.testing.assert_allclose(got[c], exp, rtol=1e-6, atol=1e-7)
+
+    def test_precomputed_quantized_matches(self):
+        import jax.numpy as jnp
+
+        from saguaro_tpu.kernels.glcm import (
+            object_glcm_multichannel,
+            quantize_channels,
+        )
+
+        rng = np.random.default_rng(12)
+        img = rng.normal(100, 30, (32, 32, 2)).astype(np.float32)
+        labels = (rng.random((32, 32)) > 0.5).astype(np.int32)
+        img_j = jnp.asarray(img)
+        lab_j = jnp.asarray(labels)
+        q = quantize_channels(img_j, lab_j, 4, 8)
+        a = np.asarray(
+            object_glcm_multichannel(img_j, lab_j, 4, 8, 1, quantized=q)
+        )
+        b = np.asarray(object_glcm_multichannel(img_j, lab_j, 4, 8, 1))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

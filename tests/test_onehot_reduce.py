@@ -114,3 +114,29 @@ class TestMxuTakeT:
         np.testing.assert_allclose(
             got[0], np.asarray(jnp.take(table, keys)), rtol=2e-7, atol=1e-6
         )
+
+
+class TestExcessPrecisionBarriers:
+    def test_split_barriers_present_in_jaxpr(self):
+        """The bf16 split barriers must survive refactors: this
+        environment forces --xla_allow_excess_precision, under which
+        XLA:TPU simplifies t - f32(bf16(t)) to 0 in fused contexts,
+        collapsing the hi/mid/lo split to bf16(t) (device-reproduced:
+        gathered 2112.0 from a table row holding 2119.0, emptying every
+        at_max candidate set). The barrier is the fix; assert it exists."""
+        import jax
+
+        from saguaro_tpu.kernels.onehot_reduce import (
+            _bf16_split3,
+            segment_matmul_sums,
+        )
+
+        t = jnp.ones((8, 3), jnp.float32)
+        jaxpr = str(jax.make_jaxpr(_bf16_split3)(t))
+        assert "optimization_barrier" in jaxpr
+        keys = jnp.zeros(64, jnp.int32)
+        vals = jnp.ones((64, 2), jnp.float32)
+        jaxpr2 = str(
+            jax.make_jaxpr(lambda k, v: segment_matmul_sums(k, v, 8))(keys, vals)
+        )
+        assert "optimization_barrier" in jaxpr2

@@ -139,3 +139,39 @@ class TestSums:
             np.testing.assert_allclose(
                 np.asarray(got[i]), np.asarray(exp), rtol=1e-5, atol=1e-2
             )
+
+
+class TestLaneScanDispatch:
+    """The full fused measurement program through the Pallas dispatch
+    (interpreter mode on CPU) vs the XLA scan path."""
+
+    def test_fused_object_features_equal(self, monkeypatch):
+        from saguaro_tpu.kernels.fused_measure import fused_object_features
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(100, 25, (96, 96, 2)).astype(np.float32)
+        labels = np.zeros((96, 96), np.int32)
+        yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        for k, (cy, cx) in enumerate([(24, 24), (24, 70), (70, 40)], start=1):
+            labels[(yy - cy) ** 2 + (xx - cx) ** 2 <= 12**2] = k
+        img_j, lab_j = jnp.asarray(img), jnp.asarray(labels)
+
+        ref = jax.tree.map(
+            np.asarray, fused_object_features(img_j, lab_j, 8)
+        )
+        monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
+        # separate trace (env is read at trace time): different max_cells
+        # would dodge the jit cache, but same args must retrace too —
+        # clear the cache to be sure the dispatch branch is re-evaluated
+        fused_object_features.clear_cache()
+        got = jax.tree.map(
+            np.asarray, fused_object_features(img_j, lab_j, 8)
+        )
+        monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
+        fused_object_features.clear_cache()
+
+        flat_ref, tree_ref = jax.tree.flatten(ref)
+        flat_got, tree_got = jax.tree.flatten(got)
+        assert tree_ref == tree_got
+        for a, b in zip(flat_got, flat_ref):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)
