@@ -590,3 +590,71 @@ def seg_lane_sums_pallas(
         tuple(c.shape for c in consts2d), max_cells, tile,
     )
     return f(lab, packed, tab, *consts2d).T
+
+
+# ---------------------------------------------------------------------------
+# EDT horizontal sweep: all 2R+1 shifted min-adds VMEM-resident per row block
+
+
+@functools.lru_cache(maxsize=None)
+def _edt_sweep_fn(max_radius: int, w: int, w_pad: int):
+    big2 = 3.0e38
+
+    def kernel(v2p_ref, d2_ref, out_ref):
+        v2p = v2p_ref[0]  # (8, w_pad) f32: [R pad | row | R pad]
+        d2 = d2_ref[0]    # (8, w) f32: min(grow^2, v2)
+        for dx in range(1, max_radius + 1):
+            cand = jnp.minimum(
+                jax.lax.slice_in_dim(v2p, max_radius - dx, max_radius - dx + w, axis=1),
+                jax.lax.slice_in_dim(v2p, max_radius + dx, max_radius + dx + w, axis=1),
+            ) + jnp.float32(dx * dx)
+            d2 = jnp.minimum(d2, cand)
+        out_ref[0] = d2
+
+    def batched(v2p3, d23):
+        bsz, n_blk = v2p3.shape[0], v2p3.shape[1] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_blk),
+            in_specs=[
+                pl.BlockSpec((1, 8, w_pad), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, 8, w), lambda b, i: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, w), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct(v2p3.shape[:1] + d23.shape[1:], jnp.float32),
+            interpret=_interpret(),
+        )(v2p3, d23)
+
+    @custom_batching.custom_vmap
+    def f(v2p, d2):
+        return batched(v2p[None], d2[None])[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, v2p, d2):
+        a_b, b_b = in_batched
+        if not a_b:
+            v2p = jnp.broadcast_to(v2p, (axis_size,) + v2p.shape)
+        if not b_b:
+            d2 = jnp.broadcast_to(d2, (axis_size,) + d2.shape)
+        return batched(v2p, d2), True
+
+    return f
+
+
+def edt_sweep_pallas(
+    v2: jax.Array, d2_init: jax.Array, max_radius: int
+) -> jax.Array:
+    """Bounded EDT horizontal sweep, VMEM-resident: for each pixel,
+    ``min(d2_init, min_{1<=|dx|<=R} v2[row, col+dx] + dx^2)`` (out-of-row
+    candidates = +inf). The XLA form is 2R+1 full-image shifted min-adds
+    (~2.7 GB HBM traffic per 1080^2 site at R=48); here each 8-row block
+    is read ONCE and all shifts run in VMEM."""
+    h, w = v2.shape
+    big2 = jnp.float32(3.0e38)
+    v2p = jnp.pad(v2, ((0, 0), (max_radius, max_radius)), constant_values=big2)
+    w_pad = w + 2 * max_radius
+    h_pad = _pad_to(h, 8)
+    v2p = jnp.pad(v2p, ((0, h_pad - h), (0, 0)), constant_values=big2)
+    d2p = jnp.pad(d2_init, ((0, h_pad - h), (0, 0)), constant_values=big2)
+    out = _edt_sweep_fn(max_radius, w, w_pad)(v2p, d2p)
+    return out[:h]

@@ -94,6 +94,13 @@ def _label_edt_sq(labels: jax.Array, max_radius: int) -> jax.Array:
     grow = _axis_dist_last(lab)
     v2 = gcol * gcol
     d2 = jnp.minimum(grow * grow, v2)
+    from saguaro_tpu.kernels.segment_pallas import edt_sweep_pallas, use_pallas
+
+    if use_pallas():
+        # VMEM-resident sweep: each 8-row block read once, all 2R+1
+        # shifts in VMEM (the XLA form moves ~2.7 GB HBM per 1080² site)
+        d2 = edt_sweep_pallas(v2, d2, max_radius)
+        return jnp.where(lab > 0, d2, 0.0)
     v2p = jnp.pad(v2, ((0, 0), (max_radius, max_radius)), constant_values=big2)
     for dx in range(1, max_radius + 1):
         cand = (

@@ -175,3 +175,37 @@ class TestLaneScanDispatch:
         assert tree_ref == tree_got
         for a, b in zip(flat_got, flat_ref):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)
+
+
+class TestEdtSweep:
+    def test_matches_xla_sweep(self, monkeypatch):
+        from saguaro_tpu.kernels.shape_extra import _label_edt_sq
+
+        rng = np.random.default_rng(5)
+        labels = np.zeros((40, 56), np.int32)
+        labels[4:18, 6:30] = 1
+        labels[20:36, 12:52] = 2
+        labels[8:12, 40:50] = 3
+        lab = jnp.asarray(labels)
+        ref = np.asarray(_label_edt_sq(lab, 16))
+        monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
+        _label_edt_sq.clear_cache()
+        got = np.asarray(_label_edt_sq(lab, 16))
+        monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
+        _label_edt_sq.clear_cache()
+        np.testing.assert_array_equal(got, ref)
+
+    def test_vmapped_batch(self, monkeypatch):
+        from saguaro_tpu.kernels.shape_extra import _label_edt_sq
+
+        labels = np.zeros((2, 24, 40), np.int32)
+        labels[0, 2:20, 4:30] = 1
+        labels[1, 6:18, 10:38] = 2
+        lab = jnp.asarray(labels)
+        ref = np.stack([np.asarray(_label_edt_sq(l, 8)) for l in lab])
+        monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
+        _label_edt_sq.clear_cache()
+        got = np.asarray(jax.vmap(lambda l: _label_edt_sq(l, 8))(lab))
+        monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
+        _label_edt_sq.clear_cache()
+        np.testing.assert_array_equal(got, ref)
