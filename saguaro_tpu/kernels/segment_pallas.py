@@ -150,28 +150,30 @@ def _counts_fn(sizes: tuple[int, ...], max_cells: int, tile: int):
         lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, ROWS) int32
         code = code_ref[0]  # (Q, ROWS*TILE) int16
         for r in range(_ROWS):
-            # label one-hot, labels on sublanes: (TILE, max_cells)
+            # label one-hot, labels on sublanes: (TILE, max_cells).
+            # Counting is integer work: s8 one-hots contract on the MXU
+            # at 2x the bf16 rate with EXACT s32 accumulation.
             a_t = (
                 jax.lax.broadcasted_iota(jnp.int32, (tile, max_cells), 1)
                 == lab_t[:, r : r + 1]
-            ).astype(jnp.bfloat16)
+            ).astype(jnp.int8)
             cols = []
             for q, nb in enumerate(sizes):
                 c = code[q : q + 1, r * tile : (r + 1) * tile].astype(jnp.int32)
                 cols.append(
                     (
                         jax.lax.broadcasted_iota(jnp.int32, (nb, tile), 0) == c
-                    ).astype(jnp.bfloat16)
+                    ).astype(jnp.int8)
                 )
             bmat = jnp.concatenate(cols, axis=0) if len(cols) > 1 else cols[0]
             # (total, TILE) @ (TILE, max_cells) -> (total, max_cells);
             # accumulate straight into the revisited VMEM output block
-            # (a separate acc doubled the (total, max_cells) f32 VMEM)
+            # (a separate acc doubled the (total, max_cells) VMEM)
             out_ref[0] += jax.lax.dot_general(
                 bmat,
                 a_t,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
 
     def batched(lab4, code3):
@@ -188,7 +190,7 @@ def _counts_fn(sizes: tuple[int, ...], max_cells: int, tile: int):
                 (1, total, max_cells), lambda b, i: (b, 0, 0)
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (bsz, total, max_cells), jnp.float32
+                (bsz, total, max_cells), jnp.int32
             ),
             interpret=_interpret(),
         )(lab4, code3)
@@ -256,7 +258,9 @@ def seg_counts_pallas(
     g = _counts_fn(sizes, max_cells, tile)(lab, code_arr)
     outs, off = [], 0
     for nb in sizes:
-        outs.append(g[off : off + nb].T)
+        # callers consume f32 histograms (cumsums, CDF ranks); counts are
+        # exact s32 from the MXU
+        outs.append(g[off : off + nb].T.astype(jnp.float32))
         off += nb
     return outs
 
