@@ -600,13 +600,16 @@ def seg_lane_sums_pallas(
 # EDT horizontal sweep: all 2R+1 shifted min-adds VMEM-resident per row block
 
 
+_EDT_ROWS = 64  # rows per grid step (8-row blocks were grid-overhead-bound)
+
+
 @functools.lru_cache(maxsize=None)
 def _edt_sweep_fn(max_radius: int, w: int, w_pad: int):
     big2 = 3.0e38
 
     def kernel(v2p_ref, d2_ref, out_ref):
-        v2p = v2p_ref[0]  # (8, w_pad) f32: [R pad | row | R pad]
-        d2 = d2_ref[0]    # (8, w) f32: min(grow^2, v2)
+        v2p = v2p_ref[0]  # (_EDT_ROWS, w_pad) f32: [R pad | row | R pad]
+        d2 = d2_ref[0]    # (_EDT_ROWS, w) f32: min(grow^2, v2)
         for dx in range(1, max_radius + 1):
             cand = jnp.minimum(
                 jax.lax.slice_in_dim(v2p, max_radius - dx, max_radius - dx + w, axis=1),
@@ -616,15 +619,15 @@ def _edt_sweep_fn(max_radius: int, w: int, w_pad: int):
         out_ref[0] = d2
 
     def batched(v2p3, d23):
-        bsz, n_blk = v2p3.shape[0], v2p3.shape[1] // 8
+        bsz, n_blk = v2p3.shape[0], v2p3.shape[1] // _EDT_ROWS
         return pl.pallas_call(
             kernel,
             grid=(bsz, n_blk),
             in_specs=[
-                pl.BlockSpec((1, 8, w_pad), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, 8, w), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, _EDT_ROWS, w_pad), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, _EDT_ROWS, w), lambda b, i: (b, i, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 8, w), lambda b, i: (b, i, 0)),
+            out_specs=pl.BlockSpec((1, _EDT_ROWS, w), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct(v2p3.shape[:1] + d23.shape[1:], jnp.float32),
             interpret=_interpret(),
         )(v2p3, d23)
@@ -657,7 +660,7 @@ def edt_sweep_pallas(
     big2 = jnp.float32(3.0e38)
     v2p = jnp.pad(v2, ((0, 0), (max_radius, max_radius)), constant_values=big2)
     w_pad = w + 2 * max_radius
-    h_pad = _pad_to(h, 8)
+    h_pad = _pad_to(h, _EDT_ROWS)
     v2p = jnp.pad(v2p, ((0, h_pad - h), (0, 0)), constant_values=big2)
     d2p = jnp.pad(d2_init, ((0, h_pad - h), (0, 0)), constant_values=big2)
     out = _edt_sweep_fn(max_radius, w, w_pad)(v2p, d2p)
