@@ -114,6 +114,47 @@ def _quantize(image, labels, max_cells, levels, stats=None):
     return lab, inside, q
 
 
+def _n_tri(levels: int) -> int:
+    return levels * (levels + 1) // 2
+
+
+def _tri_codes(codes, levels):
+    """Per-direction pair codes -> TRIANGULAR pair codes. The deliverable
+    GLCM is the symmetrized C + Cᵀ, so (q, q2) and (q2, q) pairs can
+    share one histogram column: t = hi(hi+1)/2 + lo with (lo, hi) the
+    sorted pair — L(L+1)/2 = 136 columns instead of L² = 256 at L=16,
+    ~47% fewer MXU count flops (the count kernel runs AT the int8
+    roofline, so fewer columns is the only lever left)."""
+    L2 = levels * levels
+    out = []
+    for c in codes:
+        pq = c % L2
+        q1 = pq // levels
+        q2 = pq % levels
+        lo = jnp.minimum(q1, q2)
+        hi = jnp.maximum(q1, q2)
+        out.append(hi * (hi + 1) // 2 + lo)
+    return out
+
+
+def _tri_expand(h, levels):
+    """(max_cells, L(L+1)/2) triangular counts -> (max_cells, L, L)
+    symmetrized GLCM: sym[q, q2] = T[tri(q, q2)] off-diagonal (the two
+    pair orders landed in one column), 2·T on the diagonal (C + Cᵀ
+    doubles it)."""
+    import numpy as np
+
+    qq = np.arange(levels)
+    lo = np.minimum(qq[:, None], qq[None, :])
+    hi = np.maximum(qq[:, None], qq[None, :])
+    tri = jnp.asarray(hi * (hi + 1) // 2 + lo, jnp.int32)  # (L, L)
+    diag = jnp.asarray((qq[:, None] == qq[None, :]).astype(np.float32))
+    sym = jnp.take(h, tri.reshape(-1), axis=1).reshape(
+        h.shape[0], levels, levels
+    )
+    return sym * (1.0 + diag)
+
+
 def _direction_codes(lab, inside, q, levels, distance):
     """Per pixel, per direction: the (q, q2) pair code and validity.
 
@@ -167,7 +208,6 @@ def object_glcm(
     ``quantized``: optional precomputed (H, W) gray-level codes (see
     quantize_channels) — skips this call's own range lookup scan.
     """
-    L2 = levels * levels
     if quantized is not None:
         lab32 = labels.astype(jnp.int32)
         lab = jnp.where((lab32 > 0) & (lab32 < max_cells), lab32, 0)
@@ -186,12 +226,14 @@ def object_glcm(
 
     hs = onehot_counts(
         lab.reshape(-1),
-        [((c % L2).reshape(-1), o.reshape(-1), L2) for c, o in zip(codes, oks)],
+        [(t.reshape(-1), o.reshape(-1), _n_tri(levels))
+         for t, o in zip(_tri_codes(codes, levels), oks)],
         max_cells,
         chunk=chunk,
     )
-    counts = jnp.stack(hs, axis=0).reshape(4, max_cells, levels, levels)
-    sym = counts + jnp.swapaxes(counts, 2, 3)
+    sym = jnp.stack(
+        [_tri_expand(h, levels) for h in hs], axis=0
+    )  # (4, max_cells, L, L)
     total = jnp.sum(sym, axis=(2, 3), keepdims=True)
     return sym / jnp.maximum(total, 1e-12)
 
@@ -216,7 +258,6 @@ def object_glcm_multichannel(
     ``quantize_channels`` — skips the per-channel range-lookup scans.
     """
     n_ch = image.shape[-1]
-    L2 = levels * levels
     from saguaro_tpu.kernels.onehot_reduce import onehot_counts
 
     lab32 = labels.astype(jnp.int32)
@@ -229,13 +270,13 @@ def object_glcm_multichannel(
             _, inside, q = _quantize(image[..., c], labels, max_cells, levels)
         codes, oks = _direction_codes(lab, inside, q, levels, distance)
         entries.extend(
-            ((cd % L2).reshape(-1), o.reshape(-1), L2)
-            for cd, o in zip(codes, oks)
+            (t.reshape(-1), o.reshape(-1), _n_tri(levels))
+            for t, o in zip(_tri_codes(codes, levels), oks)
         )
     hs = onehot_counts(lab.reshape(-1), entries, max_cells, chunk=chunk)
-    g = jnp.concatenate(hs, axis=1)  # (max_cells, C*4*L2)
-    counts = g.reshape(max_cells, n_ch, 4, levels, levels).transpose(1, 2, 0, 3, 4)
-    sym = counts + jnp.swapaxes(counts, 3, 4)
+    sym = jnp.stack(
+        [_tri_expand(h, levels) for h in hs], axis=0
+    ).reshape(n_ch, 4, max_cells, levels, levels)
     total = jnp.sum(sym, axis=(3, 4), keepdims=True)
     return sym / jnp.maximum(total, 1e-12)
 
