@@ -112,6 +112,36 @@ class TestMeshEngine:
                     plain[i][name], sharded[i][name], rtol=1e-5, atol=2e-6
                 )
 
+    def test_measurement_sharded_pallas_interpreter(self, mesh8, rng, monkeypatch):
+        """shard_map + the Pallas dispatch together (interpreter mode):
+        the production multi-chip TPU path runs the Pallas kernels INSIDE
+        shard_map — pin that integration on the CPU mesh so a v5e-8 run
+        is not the first place it executes."""
+        from saguaro_tpu.pipeline.features import FeatureConfig, measure_site_batch
+
+        cfg = FeatureConfig(
+            channels=("DNA", "GFP"), max_cells=8, glcm_levels=8,
+            secondary_iterations=4, granularity_length=4,
+            measure_zernike=False, max_radius=8, convex_dirs=12,
+        )
+        b, h, w = 8, 48, 48
+        images = (rng.random((b, h, w, 2)) * 100).astype(np.float32)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        nuclei = np.zeros((b, h, w), np.int32)
+        for i in range(b):
+            nuclei[i][(yy - 16 - i) ** 2 + (xx - 24) ** 2 <= 25] = 1
+        import pandas as pd
+
+        plain = measure_site_batch(images, nuclei, cfg)
+        monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
+        sharded = measure_site_batch(images, nuclei, cfg, mesh=mesh8)
+        monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
+        for i in range(b):
+            for name in ("Image", "Nuclei", "Cells", "Cytoplasm"):
+                pd.testing.assert_frame_equal(
+                    plain[i][name], sharded[i][name], rtol=1e-4, atol=1e-3
+                )
+
     def test_pooled_embed_sharded_matches_per_site(self, mesh8, rng):
         """VERDICT r1 weak #2: the embed stage must shard crops over the
         mesh 'data' axis. Pooled+sharded embeddings must equal the
