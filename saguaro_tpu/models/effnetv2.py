@@ -281,6 +281,35 @@ def fold_batchnorm(variables) -> dict:
     )(variables)
 
 
+def fold_rgb_stem(variables) -> dict:
+    """Fold the stem conv's RGB input weights into ONE channel.
+
+    The embed pipeline replicates each GRAY crop to RGB
+    (Cellpose_GPU_s3fs.py:177-182), so the stem conv sees three identical
+    channels: conv(x,x,x) = (W_r + W_g + W_b) * x exactly. Summing the
+    stem kernel over its input-channel axis lets the network take
+    (N, H, W, 1) inputs — the (chunk, 480, 480, 3) replicated input
+    tensor never materializes (2/3 less stem-input HBM traffic and
+    resize/normalize output). Exact in f32; under bf16 compute the
+    pre-summed weight rounds once where the conv summed three rounded
+    products (same noise class as fold_batchnorm). Idempotent: a tree
+    whose stem is already single-channel is returned unchanged.
+    """
+    params = variables["params"]
+    stem = params["_ConvBNAct_0"]["Conv_0"]["kernel"]
+    if stem.shape[2] == 1:
+        return variables
+    new_params = dict(params)
+    stem_scope = dict(new_params["_ConvBNAct_0"])
+    conv = dict(stem_scope["Conv_0"])
+    conv["kernel"] = jnp.sum(stem, axis=2, keepdims=True)
+    stem_scope["Conv_0"] = conv
+    new_params["_ConvBNAct_0"] = stem_scope
+    out = dict(variables)
+    out["params"] = new_params
+    return out
+
+
 def init_effnetv2(config: EffNetV2Config = EFFNETV2_L, seed: int = 0, init_size: int | None = None):
     """Initialize (model, variables). ``init_size`` can be small: the net is
     fully convolutional, so parameter shapes are resolution-independent."""
@@ -296,9 +325,13 @@ def init_effnetv2(config: EffNetV2Config = EFFNETV2_L, seed: int = 0, init_size:
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("out_size",))
-def preprocess_crops(crops: jax.Array, out_size: int = 480) -> jax.Array:
-    """(N, H, W) single-channel crops -> (N, out, out, 3) model inputs.
+@partial(jax.jit, static_argnames=("out_size", "n_channels"))
+def preprocess_crops(
+    crops: jax.Array, out_size: int = 480, n_channels: int = 3
+) -> jax.Array:
+    """(N, H, W) single-channel crops -> (N, out, out, n_channels)
+    model inputs (``n_channels=1`` skips the RGB replication for a
+    ``fold_rgb_stem``-folded network — same values, 1/3 the tensor).
 
     Transcription of the reference's embed preprocessing
     (Cellpose_GPU_s3fs.py:34-43,177-182,191-194): per crop min-max scale
@@ -329,7 +362,9 @@ def preprocess_crops(crops: jax.Array, out_size: int = 480) -> jax.Array:
     resized = jax.image.resize(horiz, (n, out_size, out_size), method="cubic")
     resized = jnp.round(jnp.clip(resized, 0.0, 255.0))
     normed = (resized / 255.0 - 0.5) / 0.5
-    return jnp.repeat(normed[..., None], 3, axis=-1)
+    if n_channels == 1:
+        return normed[..., None]
+    return jnp.repeat(normed[..., None], n_channels, axis=-1)
 
 
 def embed_crops(apply_fn, variables, crops: jax.Array, out_size: int = 480) -> jax.Array:

@@ -102,6 +102,11 @@ class SegmentEmbedConfig:
                                        # the stage-6 1x1 convs; ~1e-2-relative
                                        # embedding change from one fewer bf16
                                        # rounding)
+    fold_rgb_stem: bool = True         # crops are GRAY replicated to RGB, so
+                                       # the stem conv folds to 1 input
+                                       # channel (exact in f32) and the
+                                       # (chunk, 480², 3) input never
+                                       # materializes
     cellpose: CellposeConfig = field(default_factory=CellposeConfig)
     effnet: EffNetV2Config = field(default_factory=lambda: EFFNETV2_L)
 
@@ -162,6 +167,14 @@ class SegmentEmbedEngine:
             self.feat_model = EffNetV2(dataclasses.replace(cfg.effnet, fold_bn=True))
             if "batch_stats" in self.feat_vars:
                 self.feat_vars = fold_batchnorm(self.feat_vars)
+        embed_in_ch = 3
+        if cfg.fold_rgb_stem:
+            from saguaro_tpu.models.effnetv2 import fold_rgb_stem
+
+            # crops are gray->RGB replicated: the stem conv folds to one
+            # input channel (idempotent for pre-folded variable trees)
+            self.feat_vars = fold_rgb_stem(self.feat_vars)
+            embed_in_ch = 1
         if mesh is not None:
             from saguaro_tpu.parallel.mesh import replicate
 
@@ -180,7 +193,10 @@ class SegmentEmbedEngine:
 
         @jax.jit
         def _embed_with_vars(variables, crops):
-            return apply_fn(variables, preprocess_crops(crops, embed_size))
+            return apply_fn(
+                variables,
+                preprocess_crops(crops, embed_size, n_channels=embed_in_ch),
+            )
 
         self._embed = lambda crops: _embed_with_vars(self.feat_vars, crops)
 
@@ -213,7 +229,10 @@ class SegmentEmbedEngine:
                 return img * (lab == li).astype(jnp.float32)
 
             crops = jax.vmap(one)(site_i, lab_i, ch_i, cy, cx)
-            return apply_fn(variables, preprocess_crops(crops, embed_size))
+            return apply_fn(
+                variables,
+                preprocess_crops(crops, embed_size, n_channels=embed_in_ch),
+            )
 
         self._embed_chunk_fused = _embed_chunk_fused
 

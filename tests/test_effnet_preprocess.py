@@ -50,3 +50,42 @@ class TestPreprocessCrops:
         got = np.asarray(preprocess_crops(crops, 64))
         np.testing.assert_array_equal(got[..., 0], got[..., 1])
         np.testing.assert_array_equal(got[..., 0], got[..., 2])
+
+
+class TestFoldRgbStem:
+    def test_folded_single_channel_matches_rgb(self):
+        """fold_rgb_stem + 1-channel preprocess == unfolded + RGB
+        replicate (the stem conv is linear in its input channels and the
+        three channels are identical)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from saguaro_tpu.models.effnetv2 import (
+            EFFNETV2_S,
+            fold_rgb_stem,
+            init_effnetv2,
+            preprocess_crops,
+        )
+
+        tiny = dataclasses.replace(
+            EFFNETV2_S, stages=EFFNETV2_S.stages[:2], stem_filters=8,
+            compute_dtype="float32",
+        )
+        model, variables = init_effnetv2(tiny, seed=0)
+        rng = np.random.default_rng(4)
+        crops = jnp.asarray(rng.integers(0, 3000, (2, 48, 48)).astype(np.float32))
+        x3 = preprocess_crops(crops, out_size=64)
+        x1 = preprocess_crops(crops, out_size=64, n_channels=1)
+        assert x3.shape[-1] == 3 and x1.shape[-1] == 1
+        ref = model.apply(variables, x3)
+        folded = fold_rgb_stem(variables)
+        got = model.apply(folded, x1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+        # idempotent on an already-folded tree
+        again = fold_rgb_stem(folded)
+        assert (
+            again["params"]["_ConvBNAct_0"]["Conv_0"]["kernel"].shape[2] == 1
+        )
