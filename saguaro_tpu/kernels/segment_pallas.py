@@ -605,8 +605,6 @@ _EDT_ROWS = 64  # rows per grid step (8-row blocks were grid-overhead-bound)
 
 @functools.lru_cache(maxsize=None)
 def _edt_sweep_fn(max_radius: int, w: int, w_pad: int):
-    big2 = 3.0e38
-
     def kernel(v2p_ref, d2_ref, out_ref):
         v2p = v2p_ref[0]  # (_EDT_ROWS, w_pad) f32: [R pad | row | R pad]
         d2 = d2_ref[0]    # (_EDT_ROWS, w) f32: min(grow^2, v2)

@@ -350,16 +350,32 @@ def preprocess_crops(
     (VERDICT r2 weak #3). Pinned against a PIL oracle in
     tests/test_effnet_preprocess.py.
     """
+    from saguaro_tpu.kernels.resample import bicubic_axis_matrix
+
     x = crops.astype(jnp.float32)
     mn = jnp.min(x, axis=(1, 2), keepdims=True)
     mx = jnp.max(x, axis=(1, 2), keepdims=True)
     flat = mx == mn
     scaled = jnp.where(flat, 0.0, 255.0 * (x - mn) / jnp.where(flat, 1.0, mx - mn))
     scaled = jnp.floor(scaled)  # uint8 truncation parity
-    n, h = crops.shape[0], crops.shape[1]
-    horiz = jax.image.resize(scaled, (n, h, out_size), method="cubic")
+    n, h, w = crops.shape
+    # PIL's exact bicubic taps as (out, in) matrices -> the resize is two
+    # MXU einsums instead of gathers (jax.image.resize held ~244 ms/batch
+    # of the embed profile as gather fusions); horizontal first, uint8
+    # round+clip between passes, like ImagingResample
+    wh = jnp.asarray(bicubic_axis_matrix(w, out_size))  # (out, w)
+    wv = jnp.asarray(bicubic_axis_matrix(h, out_size))  # (out, h)
+    horiz = jnp.einsum(
+        "nhw,ow->nho", scaled, wh,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     horiz = jnp.round(jnp.clip(horiz, 0.0, 255.0))
-    resized = jax.image.resize(horiz, (n, out_size, out_size), method="cubic")
+    resized = jnp.einsum(
+        "nho,Oh->nOo", horiz, wv,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     resized = jnp.round(jnp.clip(resized, 0.0, 255.0))
     normed = (resized / 255.0 - 0.5) / 0.5
     if n_channels == 1:
