@@ -295,23 +295,20 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             (shape["Area"] > 0).astype(jnp.int32)
         )
 
-    # ONE vmapped program for all channels' granularity spectra: the
-    # reconstruction-to-convergence while_loop under vmap runs until
-    # every channel converges, and its body is idempotent at the
-    # fixpoint, so results are identical to per-channel programs — with
-    # 1/C the program/launch overhead (5 separate programs held ~313
-    # ms/batch at the 5-ch op point, device-profiled).
-    gran_mc = jax.vmap(
-        lambda ch: granularity_spectrum_cp(
-            ch, cfg.granularity_length,
+    # Granularity stays a PER-CHANNEL loop: vmapping the channels into
+    # one program was tried and measured SLOWER (313 -> 417 ms/batch) —
+    # the convergence while_loop then runs max-over-channels iterations
+    # on every channel's lanes, and the reconstruction iteration counts
+    # differ enough that max x C exceeds the per-channel sum.
+    for c in range(n_ch):
+        ch_name = cfg.channels[c]
+        gran = granularity_spectrum_cp(
+            image[..., c], cfg.granularity_length,
             subsample_size=cfg.granularity_subsample,
             image_sample_size=cfg.granularity_bg_sample,
             element_size=cfg.granularity_element_size,
         )
-    )(jnp.moveaxis(image, -1, 0))
-    for c in range(n_ch):
-        ch_name = cfg.channels[c]
-        out["image"][f"Granularity_{ch_name}"] = gran_mc[c]
+        out["image"][f"Granularity_{ch_name}"] = gran
         out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(image[..., c])
         out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(image[..., c])
         out["image"][f"Intensity_MaxIntensity_{ch_name}"] = jnp.max(image[..., c])
