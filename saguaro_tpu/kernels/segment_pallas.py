@@ -121,13 +121,13 @@ def _row_onehot(lab_row: jax.Array, max_cells: int) -> jax.Array:
     ).astype(jnp.bfloat16)
 
 
-def _prep_labels(labels: jax.Array, tile: int):
-    """(N,) labels → ((n_steps, ROWS, TILE) int32, n_pad)."""
+def _prep_labels(labels: jax.Array, tile: int, rows: int = _ROWS):
+    """(N,) labels → ((n_steps, rows, TILE) int32, n_pad)."""
     n = labels.shape[0]
-    chunk = _ROWS * tile
+    chunk = rows * tile
     n_pad = _pad_to(n, chunk)
     lab = jnp.pad(labels.astype(jnp.int32), (0, n_pad - n), constant_values=-1)
-    return lab.reshape(n_pad // chunk, _ROWS, tile), n_pad
+    return lab.reshape(n_pad // chunk, rows, tile), n_pad
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +424,7 @@ def seg_sums_pallas(
 def _lane_sums_fn(
     lane_fn_t, base_spec: tuple[int, ...], n_lanes: int, k_tab: int,
     const_shapes: tuple[tuple[int, int], ...], max_cells: int, tile: int,
+    n_rows: int = _ROWS,
 ):
     """``lane_fn_t(lab_row (TILE,) i32, gathered (K, TILE) f32 | None,
     consts, *base rows) -> (n_lanes, TILE) f32`` — the transposed
@@ -450,14 +451,14 @@ def _lane_sums_fn(
         def _():
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, ROWS)
-        basev = base_ref[0]  # (KB, ROWS*TILE) f32
+        lab_t = jnp.transpose(lab_ref[0, 0])  # (TILE, rows)
+        basev = base_ref[0]  # (KB, rows*TILE) f32
         if tab_ref is not None:
             tt = tab_ref[0]  # (3K, max_cells) f32 holding exact-bf16 values
             t_hi = tt[:k_tab].astype(jnp.bfloat16)
             t_mid = tt[k_tab : 2 * k_tab].astype(jnp.bfloat16)
             t_lo = tt[2 * k_tab :].astype(jnp.bfloat16)
-        for r in range(_ROWS):
+        for r in range(n_rows):
             lab_row = lab_t[:, r]  # (TILE,)
             # both one-hot orientations from two iota compares (no
             # in-kernel transpose): a for the (K, mc) @ (mc, TILE)
@@ -495,8 +496,8 @@ def _lane_sums_fn(
         bsz = lab4.shape[0]
         kb = base3.shape[1]
         in_specs = [
-            pl.BlockSpec((1, 1, _ROWS, tile), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, kb, _ROWS * tile), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, n_rows, tile), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, kb, n_rows * tile), lambda b, i: (b, 0, i)),
         ]
         ins = [lab4, base3]
         if k_tab:
@@ -547,6 +548,7 @@ def seg_lane_sums_pallas(
     max_cells: int,
     tables: jax.Array | None = None,
     consts: tuple[jax.Array, ...] = (),
+    rows: int = _ROWS,
 ) -> jax.Array:
     """Fused lane scan: per-label sums of payload lanes built in-VMEM.
 
@@ -565,8 +567,14 @@ def seg_lane_sums_pallas(
     kb = sum(base_spec)
     k_tab = 0 if tables is None else tables.shape[1]
     tile = _tile_for(n_lanes + kb + k_tab, max_cells)
+    if rows > _ROWS:
+        # experimentation knob: more rows per grid step with the tile
+        # shrunk to keep per-step VMEM constant (16 x 2048 OOM'd at
+        # 22/16 MB; 16 x 1024 compiled and measured span-NEUTRAL vs
+        # 8 x 2048 at the 5-ch op point — default stays 8)
+        tile = max(512, (tile // (rows // _ROWS) // 128) * 128)
     n = seg.shape[0]
-    lab, n_pad = _prep_labels(seg, tile)
+    lab, n_pad = _prep_labels(seg, tile, rows)
     packed = jnp.concatenate(
         [
             (v[:, None] if v.ndim == 1 else v).astype(jnp.float32).T
@@ -591,7 +599,7 @@ def seg_lane_sums_pallas(
     )
     f = _lane_sums_fn(
         lane_fn_t, base_spec, n_lanes, k_tab,
-        tuple(c.shape for c in consts2d), max_cells, tile,
+        tuple(c.shape for c in consts2d), max_cells, tile, rows,
     )
     return f(lab, packed, tab, *consts2d).T
 
