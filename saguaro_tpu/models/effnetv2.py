@@ -144,12 +144,93 @@ class _SE(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.se_filters, (1, 1), dtype=jnp.float32)(s)
+    def __call__(self, x, mean=None):
+        # ``mean``: precomputed (N, 1, 1, C) squeeze input — the Pallas
+        # depthwise kernel emits it for free (one HBM pass saved)
+        if mean is None:
+            mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.se_filters, (1, 1), dtype=jnp.float32)(mean)
         s = nn.silu(s)
         s = nn.Conv(self.in_filters, (1, 1), dtype=jnp.float32)(s)
         return x * jax.nn.sigmoid(s).astype(x.dtype)
+
+
+class _DepthwiseSiluConv(nn.Module):
+    """Depthwise 3x3 stride-1 SAME conv + bias + SiLU (+ SE mean).
+
+    Drop-in for the folded-BN ``nn.Conv(feature_group_count) -> silu``
+    pair in _MBConv — same param tree (``kernel``/``bias`` under the
+    module name, shapes/init matching nn.Conv), so ``fold_batchnorm``
+    trees apply unchanged.
+
+    The Pallas kernel (kernels/depthwise_pallas) is OPT-IN via
+    ``SAGUARO_DW_PALLAS=1`` (or ``SAGUARO_FORCE_PALLAS`` for CPU
+    interpreter tests): the device profile that motivated it showed
+    XLA's grouped-conv lowering holding 44% of the embed device time at
+    ~10x off the HBM roofline, and the standalone kernel beats that —
+    but the INTEGRATED model regressed embed 1.125 -> 2.81 s/site
+    (BENCH.md r3 handoff): the custom-call boundaries break XLA's
+    layout/fusion choices around the 57 dispatch sites. Until a whole-
+    model A/B shows a win, the default path stays the XLA grouped conv.
+    Returns (y, se_mean) where se_mean is (N, 1, 1, C) f32 from the
+    kernel, or None when the XLA path ran (SE recomputes the mean)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        import os
+
+        from saguaro_tpu.kernels.segment_pallas import use_pallas
+
+        opted_in = os.environ.get("SAGUARO_DW_PALLAS") or os.environ.get(
+            "SAGUARO_FORCE_PALLAS"
+        )
+        if self.dtype == jnp.bfloat16 and opted_in and use_pallas():
+            from saguaro_tpu.kernels.depthwise_pallas import dw3x3_silu
+
+            y, s = dw3x3_silu(x.astype(jnp.bfloat16), kernel, bias)
+            return y, s[:, None, None, :]
+        if os.environ.get("SAGUARO_DW_TAPS"):
+            # pure-XLA formulation of the same math: 9 shifted
+            # multiply-adds on the zero-padded input, f32 accumulation,
+            # one bf16 round (mirrors the Pallas kernel's numerics but
+            # stays inside XLA's fusion domain — no custom-call
+            # boundaries; A/B'd vs the grouped-conv lowering by
+            # benchmarks/bench_effnet_ab.py)
+            n, h, ww, c = x.shape
+            xp = jnp.pad(
+                x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0))
+            )
+            acc = None
+            for dh in range(3):
+                for dw in range(3):
+                    tap = xp[:, dh : dh + h, dw : dw + ww, :].astype(
+                        jnp.float32
+                    ) * kernel[dh, dw, 0]
+                    acc = tap if acc is None else acc + tap
+            y = acc.astype(self.dtype) + bias.astype(self.dtype)
+            return nn.silu(y).astype(self.dtype), None
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.features,
+        )
+        y = nn.silu(y + bias.astype(self.dtype)).astype(self.dtype)
+        return y, None
 
 
 class _FusedMBConv(nn.Module):
@@ -187,23 +268,29 @@ class _MBConv(nn.Module):
         inp = x.shape[-1]
         mid = inp * self.spec.expand
         h = _ConvBNAct(mid, 1, 1, dtype=self.dtype, fold_bn=self.fold_bn)(x)
-        # depthwise
-        h = nn.Conv(
-            mid,
-            (self.spec.kernel, self.spec.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            feature_group_count=mid,
-            use_bias=self.fold_bn,
-            dtype=self.dtype,
-        )(h)
-        if not self.fold_bn:
-            h = nn.BatchNorm(
-                use_running_average=True, dtype=jnp.float32, epsilon=1e-3
+        # depthwise: folded-BN stride-1 3x3 goes through the Pallas-backed
+        # module (same "Conv_0" param tree); stride-2 / unfolded keep the
+        # XLA grouped conv (2 of EffNetV2-L's 61 MBConvs are stride-2)
+        se_mean = None
+        if self.fold_bn and self.stride == 1 and self.spec.kernel == 3:
+            h, se_mean = _DepthwiseSiluConv(mid, dtype=self.dtype, name="Conv_0")(h)
+        else:
+            h = nn.Conv(
+                mid,
+                (self.spec.kernel, self.spec.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                feature_group_count=mid,
+                use_bias=self.fold_bn,
+                dtype=self.dtype,
             )(h)
-        h = nn.silu(h).astype(self.dtype)
+            if not self.fold_bn:
+                h = nn.BatchNorm(
+                    use_running_average=True, dtype=jnp.float32, epsilon=1e-3
+                )(h)
+            h = nn.silu(h).astype(self.dtype)
         if self.spec.se_ratio > 0:
-            h = _SE(mid, max(1, int(inp * self.spec.se_ratio)), self.dtype)(h)
+            h = _SE(mid, max(1, int(inp * self.spec.se_ratio)), self.dtype)(h, se_mean)
         h = _ConvBNAct(self.spec.filters, 1, 1, act=False, dtype=self.dtype,
                        fold_bn=self.fold_bn)(h)
         if self.stride == 1 and inp == self.spec.filters:
