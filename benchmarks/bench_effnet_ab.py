@@ -46,11 +46,12 @@ def main():
     ref = None
     for name, env in [
         ("xla", {}),
+        ("mbconv", {"SAGUARO_MBCONV_PALLAS": "1"}),
         ("taps", {"SAGUARO_DW_TAPS": "1"}),
         ("pallas", {"SAGUARO_DW_PALLAS": "1"}),
     ]:
-        os.environ.pop("SAGUARO_DW_PALLAS", None)
-        os.environ.pop("SAGUARO_DW_TAPS", None)
+        for k in ("SAGUARO_DW_PALLAS", "SAGUARO_DW_TAPS", "SAGUARO_MBCONV_PALLAS"):
+            os.environ.pop(k, None)
         os.environ.update(env)
         f = jax.jit(lambda v, x: model.apply(v, x))
         t0 = time.perf_counter()
@@ -77,8 +78,8 @@ def main():
             flush=True,
         )
         jax.clear_caches()
-    os.environ.pop("SAGUARO_DW_PALLAS", None)
-    os.environ.pop("SAGUARO_DW_TAPS", None)
+    for k in ("SAGUARO_DW_PALLAS", "SAGUARO_DW_TAPS", "SAGUARO_MBCONV_PALLAS"):
+        os.environ.pop(k, None)
 
 
 if __name__ == "__main__":

@@ -55,8 +55,13 @@ def main():
     fblock = _MBConv(spec, 1, jnp.bfloat16, fold_bn=True)
 
     ref = None
-    for name, env in [("xla", {}), ("pallas", {"SAGUARO_DW_PALLAS": "1"})]:
-        os.environ.pop("SAGUARO_DW_PALLAS", None)
+    for name, env in [
+        ("xla", {}),
+        ("mbconv", {"SAGUARO_MBCONV_PALLAS": "1"}),
+        ("dw-pallas", {"SAGUARO_DW_PALLAS": "1"}),
+    ]:
+        for k in ("SAGUARO_DW_PALLAS", "SAGUARO_MBCONV_PALLAS"):
+            os.environ.pop(k, None)
         os.environ.update(env)
         f = jax.jit(lambda v, x: fblock.apply(v, x))
         np.asarray(f(folded, x))  # compile + first (sync by fetch)
@@ -76,10 +81,11 @@ def main():
             err = 0.0
         else:
             err = float(np.max(np.abs(out - ref)))
-        print(f"mbconv s4 128x30x30x224 {name:7s} {best:8.3f} ms  maxerr={err:.2e} chk={out.sum():.1f}",
+        print(f"mbconv s4 128x30x30x224 {name:9s} {best:8.3f} ms  maxerr={err:.2e} chk={out.sum():.1f}",
               flush=True)
         jax.clear_caches()
-    os.environ.pop("SAGUARO_DW_PALLAS", None)
+    for k in ("SAGUARO_DW_PALLAS", "SAGUARO_MBCONV_PALLAS"):
+        os.environ.pop(k, None)
 
 
 if __name__ == "__main__":

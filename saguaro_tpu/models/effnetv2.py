@@ -257,6 +257,60 @@ class _FusedMBConv(nn.Module):
         return h
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for an nn.Conv: declares the same
+    ``kernel``/``bias`` (same shapes, init, f32 param dtype) without
+    running the conv — lets the fused-MBConv branch consume the exact
+    variable tree the per-op branch creates (give it the same name)."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape, jnp.float32
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.kshape[-1],), jnp.float32
+        )
+        return k, b
+
+
+class _ConvScopeParams(nn.Module):
+    """_ConvParams nested one level down as "Conv_0" (a _ConvBNAct's tree)."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kshape, name="Conv_0")()
+
+
+class _SEParams(nn.Module):
+    """Parameter tree of _SE (Conv_0: squeeze, Conv_1: excite)."""
+
+    cmid: int
+    cse: int
+
+    @nn.compact
+    def __call__(self):
+        a = _ConvParams((1, 1, self.cmid, self.cse), name="Conv_0")()
+        b = _ConvParams((1, 1, self.cse, self.cmid), name="Conv_1")()
+        return a, b
+
+
+def _mbconv_fused_on() -> bool:
+    """Opt-in gate for the fully-fused MBConv Pallas block
+    (kernels/mbconv_pallas): ``SAGUARO_MBCONV_PALLAS=1``, honoring the
+    global ``SAGUARO_NO_PALLAS`` escape. Deliberately NOT keyed to
+    SAGUARO_FORCE_PALLAS so existing dispatch tests keep their paths."""
+    import os
+
+    return bool(os.environ.get("SAGUARO_MBCONV_PALLAS")) and not os.environ.get(
+        "SAGUARO_NO_PALLAS"
+    )
+
+
 class _MBConv(nn.Module):
     spec: StageSpec
     stride: int
@@ -267,6 +321,29 @@ class _MBConv(nn.Module):
     def __call__(self, x):
         inp = x.shape[-1]
         mid = inp * self.spec.expand
+        if (
+            self.fold_bn
+            and self.stride == 1
+            and self.spec.kernel == 3
+            and self.spec.se_ratio > 0
+            and self.dtype == jnp.bfloat16
+            and _mbconv_fused_on()
+        ):
+            # whole block in one VMEM-resident Pallas program; the
+            # param tree matches the per-op branch below exactly
+            we, be = _ConvScopeParams((1, 1, inp, mid), name="_ConvBNAct_0")()
+            wd, bd = _ConvParams((3, 3, 1, mid), name="Conv_0")()
+            (w1, b1), (w2, b2) = _SEParams(
+                mid, max(1, int(inp * self.spec.se_ratio)), name="_SE_0"
+            )()
+            wp, bp = _ConvScopeParams(
+                (1, 1, mid, self.spec.filters), name="_ConvBNAct_1"
+            )()
+            from saguaro_tpu.kernels.mbconv_pallas import mbconv_fused
+
+            return mbconv_fused(
+                x.astype(self.dtype), we, be, wd, bd, w1, b1, w2, b2, wp, bp
+            )
         h = _ConvBNAct(mid, 1, 1, dtype=self.dtype, fold_bn=self.fold_bn)(x)
         # depthwise: folded-BN stride-1 3x3 goes through the Pallas-backed
         # module (same "Conv_0" param tree); stride-2 / unfolded keep the
