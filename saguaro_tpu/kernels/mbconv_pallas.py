@@ -197,9 +197,15 @@ def mbconv_fused(
     residual = cin == cout
 
     if nb is None:
-        # scratch per image: mid (h+2)(w+2)cmid + act h*w*cmid, bf16
-        per_image = ((h + 2) * (w_ + 2) + h * w_) * cmid * 2
-        nb = max(1, min(n, (48 * 2**20) // max(per_image, 1)))
+        import os
+
+        env_nb = os.environ.get("SAGUARO_MBCONV_NB")  # device-sweep knob
+        if env_nb:
+            nb = int(env_nb)
+        else:
+            # scratch per image: mid (h+2)(w+2)cmid + act h*w*cmid, bf16
+            per_image = ((h + 2) * (w_ + 2) + h * w_) * cmid * 2
+            nb = max(1, min(n, (48 * 2**20) // max(per_image, 1)))
     nb = min(nb, n)
     while n % nb:
         nb -= 1
