@@ -83,7 +83,13 @@ class FeatureConfig:
     measure_moments: bool = True      # AreaShape Spatial/Central/Normalized/Hu
     radial_rings: int = 4
     neighbor_distance: int = 5
-    max_radius: int = 48
+    # EDT horizontal-sweep bound: radii are exact while the nearest
+    # outside pixel is within this many columns. 64 covers objects up to
+    # ~128 px interior width — the reference op point segments at
+    # cellpose diameter=100 (Cellpose_GPU_s3fs.py:28) and secondary
+    # Cells grow past the nuclei, so 48 saturated MaximumRadius for the
+    # largest production objects.
+    max_radius: int = 64
     convex_dirs: int = 72
     # Median/MAD/quartile intensities: True = exact order statistics on
     # the integer uint16 grid; False = same rank semantics on a
