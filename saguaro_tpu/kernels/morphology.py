@@ -216,10 +216,73 @@ def _cross(x: jax.Array, op) -> jax.Array:
     return out
 
 
-def _reconstruct_cross(seed: jax.Array, ceiling: jax.Array, check_every: int = 32):
-    """Morphological reconstruction by dilation with the disk(1) cross
-    footprint, run to convergence (skimage.morphology.reconstruction):
-    r <- min(dilate(r), ceiling) until fixpoint."""
+def _clamp_compose(a, b):
+    """Compose clamp maps v -> min(hi, max(lo, v)): ``b`` AFTER ``a``.
+
+    Clamps are closed under composition, which makes directional max-
+    propagation under a ceiling an associative scan: with element maps
+    f_c(v) = min(ceil[c], max(r[c], v)), the propagated value at c is
+    (f_c o ... o f_0)(-inf) = the composite's lo."""
+    lo1, hi1 = a
+    lo2, hi2 = b
+    return (
+        jnp.minimum(hi2, jnp.maximum(lo2, lo1)),
+        jnp.minimum(hi2, jnp.maximum(lo2, hi1)),
+    )
+
+
+def _line_reconstruct(r: jax.Array, ceiling: jax.Array, axis: int) -> jax.Array:
+    """Exact 1D grayscale reconstruction independently along ``axis``:
+    out[i] = max_q min(r[q], min(ceiling[q..i])). One forward + one
+    backward associative clamp-scan (in 1D the backward pass over the
+    forward result IS the line fixpoint: bent paths are dominated by
+    direct ones). Requires r <= ceiling. Log-depth on the VPU."""
+    axis = axis % r.ndim  # associative_scan(reverse=) rejects negatives
+    lo, _ = jax.lax.associative_scan(_clamp_compose, (r, ceiling), axis=axis)
+    lo, _ = jax.lax.associative_scan(
+        _clamp_compose, (lo, ceiling), axis=axis, reverse=True
+    )
+    return lo
+
+
+def _reconstruct_cross_lines(seed: jax.Array, ceiling: jax.Array):
+    """Reconstruction fixpoint by alternating full-LINE relaxations.
+
+    Each round runs the exact 1D reconstruction along rows then columns
+    (log-depth associative scans). The iteration is monotone increasing,
+    bounded by the true reconstruction (every value is witnessed by a
+    4-connected path), and at its fixpoint is stable under single-step
+    dilation — so it converges to the SAME unique reconstruction as
+    unit dilation, in ~(number of bends in the max-min optimal paths)
+    rounds rather than ~(feature diameter) unit dilations. Per-round
+    cost is higher (4 O(n log n) scans vs 5 stencil ops), so which wins
+    is shape-dependent: measured counts — random texture 10 rounds vs
+    36 dilations, spiral worst case 102 rounds vs 327 dilations."""
+
+    def one_round(r):
+        r = _line_reconstruct(r, ceiling, axis=-1)
+        return _line_reconstruct(r, ceiling, axis=-2)
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        r, _ = carry
+        r2 = one_round(r)
+        return r2, jnp.any(r2 > r)
+
+    r, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True)))
+    return r
+
+
+def _reconstruct_cross_unit(
+    seed: jax.Array, ceiling: jax.Array, check_every: int = 32
+):
+    """Reconstruction fixpoint by blocked unit dilations:
+    r <- min(dilate3x3cross(r), ceiling), convergence checked every
+    ``check_every`` sweeps (relaxation is monotone, so a no-change block
+    is global convergence)."""
 
     def block(_, r):
         return jnp.minimum(_cross(r, jax.lax.max), ceiling)
@@ -235,6 +298,22 @@ def _reconstruct_cross(seed: jax.Array, ceiling: jax.Array, check_every: int = 3
 
     r, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True)))
     return r
+
+
+def _reconstruct_cross(seed: jax.Array, ceiling: jax.Array):
+    """Grayscale reconstruction by dilation, disk(1) cross footprint
+    (skimage.morphology.reconstruction fixpoint — unique, so both
+    formulations below are exact).
+
+    Default: blocked unit dilations (the measured r3 baseline).
+    ``SAGUARO_RECON_LINES=1`` switches to the associative-scan line
+    relaxation for device A/B (read at trace time, like the other
+    kernel experiment knobs)."""
+    import os
+
+    if os.environ.get("SAGUARO_RECON_LINES", "") == "1":
+        return _reconstruct_cross_lines(seed, ceiling)
+    return _reconstruct_cross_unit(seed, ceiling)
 
 
 def _align_corners_mat(n_out: int, n_in: int) -> np.ndarray:

@@ -340,6 +340,42 @@ class TestMorphology:
         b = np.asarray(granularity_spectrum_cp(img * 1000.0, 4))
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
+    def test_reconstruct_lines_equals_unit(self, rng):
+        """The associative-scan line-relaxation reconstruction
+        (SAGUARO_RECON_LINES=1) reaches exactly the unit-dilation
+        fixpoint — the reconstruction is unique, so equality is bitwise.
+        Covers a long-range spiral (many path bends, the line method's
+        worst case) and a dense random texture."""
+        import math
+
+        from saguaro_tpu.kernels.morphology import (
+            _reconstruct_cross_lines,
+            _reconstruct_cross_unit,
+        )
+
+        h = w = 64
+        ceil = np.zeros((h, w), np.float32)
+        pts = []
+        for t in np.linspace(0.0, 8 * math.pi, 20000):
+            r = 1.5 + t * 1.2
+            yy = int(round(h / 2 + r * math.sin(t)))
+            xx = int(round(w / 2 + r * math.cos(t)))
+            if 0 <= yy < h and 0 <= xx < w:
+                ceil[yy, xx] = 1.0
+                pts.append((yy, xx))
+        seed = np.zeros_like(ceil)
+        seed[pts[0]] = 1.0
+        a = np.asarray(_reconstruct_cross_lines(seed, ceil))
+        b = np.asarray(_reconstruct_cross_unit(seed, ceil))
+        np.testing.assert_array_equal(a, b)
+        assert a.sum() > 100  # the spiral was actually traversed
+
+        img = rng.random((80, 80)).astype(np.float32)
+        s = np.minimum(img - 0.3, img)
+        a = np.asarray(_reconstruct_cross_lines(s, img))
+        b = np.asarray(_reconstruct_cross_unit(s, img))
+        np.testing.assert_array_equal(a, b)
+
     def test_granularity_spectrum_shape(self, rng):
         img = rng.random((64, 64)).astype(np.float32)
         g = np.asarray(granularity_spectrum(img, 8))
