@@ -204,6 +204,49 @@ def main() -> None:
     mark("done")
 
     site_s = ship_s + seg_s + embed_s + feat_s
+
+    if os.environ.get("BENCH_PIPELINE", "") == "1":
+        # Steady-state PIPELINED batches — the production drivers' shape:
+        # run_pipeline ships batch k+1's raw uint16 asynchronously under
+        # batch k's compute (pipeline/segment_embed.py), and the feature
+        # driver fetches batch k-1's packed results while batch k
+        # computes (pipeline/feature_extraction.py). The reference
+        # overlaps the same way (producer processes feed GPU consumers,
+        # Cellpose_GPU_s3fs.py:269-300). One iteration = upload(k+1) ||
+        # [segment(k) -> embed(k) -> measure-dispatch(k) ->
+        # finalize(k-1)].
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        state = {"pending": None}
+
+        def one_iter():
+            fut = pool.submit(run_ship)
+            run_segment()
+            run_embed()
+            h = measure_site_batch_dispatch(images_dev, labels_dev, fcfg)
+            if state["pending"] is not None:
+                measure_site_batch_finalize(state["pending"])
+            state["pending"] = h
+            fut.result()
+
+        mark("timing pipelined steady state")
+        one_iter()  # warm: fills the measure pipeline
+        iters = 3
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            one_iter()
+            best = min(best, time.perf_counter() - t0)
+        if state["pending"] is not None:
+            measure_site_batch_finalize(state["pending"])
+        pipe_site_s = best / b
+        print(
+            f"pipelined: {pipe_site_s:.3f} s/site (stage sum {site_s:.3f}; "
+            f"ship hidden: {site_s - pipe_site_s:.3f})",
+            file=sys.stderr,
+        )
+        site_s = min(site_s, pipe_site_s)
     plate_s = site_s * SITES_PER_PLATE
     plates_per_hour = 3600.0 / plate_s
 
