@@ -41,6 +41,115 @@ __all__ = ["fused_object_features"]
 
 _ORDERS = [(p, q) for p in range(4) for q in range(4)]
 
+# The lane-major (Pallas) lane functions are built by cached factories
+# keyed on the STATIC measurement config, so every retrace with the same
+# config passes the IDENTICAL callable into
+# segment_pallas.seg_lane_sums_pallas — whose kernel builder is
+# lru_cached on the callable. Fresh per-call closures would miss that
+# cache on every trace (shape buckets, config variants) and accrete
+# permanent entries.
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lanes_a_fn_t(with_edge: bool):
+    def lanes_a_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, pw_c, vr_c):
+        # lane-major twin of lanes_a_fn ((C, TILE) blocks, same order)
+        v_c = vr_c * in_c
+        rows = [in_c[None], (y_c * in_c)[None], (x_c * in_c)[None],
+                b_c[None], pw_c[None], v_c, y_c * v_c, x_c * v_c]
+        if with_edge:
+            rows.append(vr_c * b_c)
+        return jnp.concatenate(rows, axis=0)
+
+    return lanes_a_fn_t
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lanes_c_fn_t(
+    with_moments: bool, with_zernike: bool, with_edge: bool,
+    with_radial: bool, n_ch: int, n_rings: int,
+):
+    # derived statics mirror fused_object_features' table-column layout
+    central_orders = [pq for pq in _ORDERS if pq != (0, 0)]
+    bbox_orders = [pq for pq in _ORDERS if pq != (0, 0)]
+    pairs = [(a, b) for a in range(n_ch) for b in range(a + 1, n_ch)]
+    o_bbox = 2
+    o_rmax = 2 + (2 if with_moments else 0)
+    need_rmax = with_zernike or with_radial
+    o_mean = o_rmax + (1 if need_rmax else 0)
+    o_emean = o_mean + n_ch
+
+    def lanes_c_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, vr_c):
+        # lane-major twin of lanes_c_fn: g is (K, TILE), vr_c (C, TILE);
+        # consts = (zernike radial coeffs (30, 10),) ride as kernel
+        # inputs (Pallas can't capture traced constants)
+        dy_c = y_c - g[0]
+        dx_c = x_c - g[1]
+        yc = dy_c * in_c
+        xc = dx_c * in_c
+
+        def powers(base_):
+            b2 = base_ * base_
+            return [in_c, base_, b2, b2 * base_]
+
+        ycp, xcp = powers(yc), powers(xc)
+        rows = [(ycp[p] * xcp[q])[None] for p, q in central_orders]
+        if with_moments:
+            ybl = (y_c - g[o_bbox]) * in_c
+            xbl = (x_c - g[o_bbox + 1]) * in_c
+            ybp, xbp = powers(ybl), powers(xbl)
+            rows += [(ybp[p] * xbp[q])[None] for p, q in bbox_orders]
+        if need_rmax:
+            dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
+            inv_rmax = 1.0 / jnp.maximum(g[o_rmax], 1e-6)
+        if with_zernike:
+            (coeffs30x10,) = consts
+            rho = jnp.minimum(dist_c * inv_rmax, 1.0)
+            rpow = jnp.stack([rho**k for k in range(10)], axis=0)  # (10, T)
+            radials = jnp.dot(
+                coeffs30x10, rpow,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (30, T)
+            # cos(m·θ)/sin(m·θ) by the angle-addition recurrence on
+            # (cosθ, sinθ) = (dx, dy)/dist — Mosaic has no atan2/trig
+            # lowering, and none is needed. At dist=0 both come out 0
+            # (vs cos(0)=1 for XLA's atan2 path), where every m>0 radial
+            # is 0 anyway and m=0 uses the constant cos row.
+            inv_d = jnp.where(dist_c > 0.0, 1.0 / jnp.maximum(dist_c, 1e-30), 0.0)
+            ct, st = dx_c * inv_d, dy_c * inv_d
+            cms, sms = [jnp.ones_like(ct)], [jnp.zeros_like(ct)]
+            for _m in range(1, 10):
+                c_new = ct * cms[-1] - st * sms[-1]
+                s_new = st * cms[-1] + ct * sms[-1]
+                cms.append(c_new)
+                sms.append(s_new)
+            m_list = [m for _, m in ZERNIKE_INDEXES]
+            cos_sel = jnp.stack([cms[m] for m in m_list], axis=0)  # (30, T)
+            sin_sel = jnp.stack([sms[m] for m in m_list], axis=0)
+            rows.append(radials * cos_sel * in_c)
+            rows.append(radials * sin_sel * in_c)
+        vc = (vr_c - g[o_mean : o_mean + n_ch]) * in_c
+        rows.append(vc * vc)
+        if pairs:
+            rows.append(jnp.stack([vc[a] * vc[b] for a, b in pairs], axis=0))
+        if with_edge:
+            ec = (vr_c - g[o_emean : o_emean + n_ch]) * b_c
+            rows.append(ec * ec)
+        if with_radial:
+            ring_c = jnp.clip(
+                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
+            )
+            v_c = vr_c * in_c
+            for r in range(n_rings):
+                mask = (ring_c == r).astype(jnp.float32)
+                rows.append((in_c * mask)[None])
+                rows.append(v_c * mask)
+        return jnp.concatenate(rows, axis=0)
+
+    return lanes_c_fn_t
+
 
 def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None,
                lane_fn_t=None, consts=()):
@@ -98,9 +207,9 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None,
         seg_c = jax.lax.dynamic_slice_in_dim(seg_f, sl, chunk)
         base_c = [jax.lax.dynamic_slice_in_dim(v, sl, chunk) for v in base_f]
         lab_oh = jax.nn.one_hot(seg_c, max_cells, dtype=jnp.bfloat16)
-        if tables is not None:
-            from saguaro_tpu.kernels.onehot_reduce import _summed_dots
+        from saguaro_tpu.kernels.onehot_reduce import _summed_dots
 
+        if tables is not None:
             take = lambda t: jax.lax.dot_general(
                 lab_oh,
                 t,
@@ -111,7 +220,6 @@ def _lane_scan(seg, base, lane_fn, n_lanes, max_cells, chunk=32768, tables=None,
             payload = lane_fn(seg_c, gathered, *base_c).astype(jnp.float32)
         else:
             payload = lane_fn(seg_c, *base_c).astype(jnp.float32)
-        from saguaro_tpu.kernels.onehot_reduce import _summed_dots
 
         # barrier: see onehot_reduce._bf16_split3 (excess-precision
         # residual cancellation)
@@ -198,14 +306,7 @@ def fused_object_features(
             cols.append(vr_c * b_c[:, None])
         return _cat(cols)
 
-    def lanes_a_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, pw_c, vr_c):
-        # lane-major twin of lanes_a_fn ((C, TILE) blocks, same order)
-        v_c = vr_c * in_c
-        rows = [in_c[None], (y_c * in_c)[None], (x_c * in_c)[None],
-                b_c[None], pw_c[None], v_c, y_c * v_c, x_c * v_c]
-        if with_edge:
-            rows.append(vr_c * b_c)
-        return jnp.concatenate(rows, axis=0)
+    lanes_a_fn_t = _make_lanes_a_fn_t(with_edge)
 
     n_lanes_a = 5 + 3 * n_ch + (n_ch if with_edge else 0)
     sums_a = _lane_scan(
@@ -394,73 +495,10 @@ def fused_object_features(
                 cols.append(v_c * mask[:, None])
         return _cat(cols)
 
-    def lanes_c_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, vr_c):
-        # lane-major twin of lanes_c_fn: g is (K, TILE), vr_c (C, TILE);
-        # consts = (zernike radial coeffs (30, 10),) ride as kernel
-        # inputs (Pallas can't capture traced constants)
-        dy_c = y_c - g[0]
-        dx_c = x_c - g[1]
-        yc = dy_c * in_c
-        xc = dx_c * in_c
-
-        def powers(base_):
-            b2 = base_ * base_
-            return [in_c, base_, b2, b2 * base_]
-
-        ycp, xcp = powers(yc), powers(xc)
-        rows = [(ycp[p] * xcp[q])[None] for p, q in central_orders]
-        if with_moments:
-            ybl = (y_c - g[o_bbox]) * in_c
-            xbl = (x_c - g[o_bbox + 1]) * in_c
-            ybp, xbp = powers(ybl), powers(xbl)
-            rows += [(ybp[p] * xbp[q])[None] for p, q in bbox_orders]
-        if need_rmax:
-            dist_c = jnp.sqrt(dy_c * dy_c + dx_c * dx_c)
-            inv_rmax = 1.0 / jnp.maximum(g[o_rmax], 1e-6)
-        if with_zernike:
-            (coeffs30x10,) = consts
-            rho = jnp.minimum(dist_c * inv_rmax, 1.0)
-            rpow = jnp.stack([rho**k for k in range(10)], axis=0)  # (10, T)
-            radials = jnp.dot(
-                coeffs30x10, rpow,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (30, T)
-            # cos(m·θ)/sin(m·θ) by the angle-addition recurrence on
-            # (cosθ, sinθ) = (dx, dy)/dist — Mosaic has no atan2/trig
-            # lowering, and none is needed. At dist=0 both come out 0
-            # (vs cos(0)=1 for XLA's atan2 path), where every m>0 radial
-            # is 0 anyway and m=0 uses the constant cos row.
-            inv_d = jnp.where(dist_c > 0.0, 1.0 / jnp.maximum(dist_c, 1e-30), 0.0)
-            ct, st = dx_c * inv_d, dy_c * inv_d
-            cms, sms = [jnp.ones_like(ct)], [jnp.zeros_like(ct)]
-            for _m in range(1, 10):
-                c_new = ct * cms[-1] - st * sms[-1]
-                s_new = st * cms[-1] + ct * sms[-1]
-                cms.append(c_new)
-                sms.append(s_new)
-            m_list = [m for _, m in ZERNIKE_INDEXES]
-            cos_sel = jnp.stack([cms[m] for m in m_list], axis=0)  # (30, T)
-            sin_sel = jnp.stack([sms[m] for m in m_list], axis=0)
-            rows.append(radials * cos_sel * in_c)
-            rows.append(radials * sin_sel * in_c)
-        vc = (vr_c - g[o_mean : o_mean + n_ch]) * in_c
-        rows.append(vc * vc)
-        if pairs:
-            rows.append(jnp.stack([vc[a] * vc[b] for a, b in pairs], axis=0))
-        if with_edge:
-            ec = (vr_c - g[o_emean : o_emean + n_ch]) * b_c
-            rows.append(ec * ec)
-        if with_radial:
-            ring_c = jnp.clip(
-                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
-            )
-            v_c = vr_c * in_c
-            for r in range(n_rings):
-                mask = (ring_c == r).astype(jnp.float32)
-                rows.append((in_c * mask)[None])
-                rows.append(v_c * mask)
-        return jnp.concatenate(rows, axis=0)
+    lanes_c_fn_t = _make_lanes_c_fn_t(
+        with_moments, with_zernike, with_edge, with_radial, n_ch,
+        n_rings if with_radial else 0,
+    )
 
     n_lanes_c = sum(n for _, n in spec_c)
     consts_c = (coeffs_t.T,) if with_zernike else ()

@@ -367,7 +367,19 @@ def granularity_spectrum_cp(
     x = image.astype(jnp.float32)
     h, w = x.shape
     stride = int(round(1.0 / subsample_size))
-    assert abs(stride * subsample_size - 1.0) < 1e-9, "1/subsample must be integer"
+    # a proper raise (not assert): this fires at TRACE time inside the
+    # jitted measurement program, and a stripped assert (python -O) would
+    # silently mis-sample instead
+    if abs(stride * subsample_size - 1.0) > 1e-9:
+        raise ValueError(
+            f"granularity subsample_size={subsample_size} must be a"
+            " reciprocal integer (the CP module strided-gathers exactly)"
+        )
+    if abs(int(round(1.0 / image_sample_size)) * image_sample_size - 1.0) > 1e-9:
+        raise ValueError(
+            f"granularity image_sample_size={image_sample_size} must be a"
+            " reciprocal integer"
+        )
     nh, nw = math.ceil(h * subsample_size), math.ceil(w * subsample_size)
     pixels = x[: (nh - 1) * stride + 1 : stride, : (nw - 1) * stride + 1 : stride]
 

@@ -223,7 +223,26 @@ def seg_counts_pallas(
     ``codes`` = [(code (N,), valid (N,) bool, n_codes)], invalid pixels
     ride as code -1 → all-zero one-hot column). Entries are split into
     column groups of ≤ ``_COL_CAP`` columns per kernel launch so the
-    (total, max_cells) VMEM accumulator stays within budget."""
+    (total, max_cells) VMEM accumulator stays within budget. A single
+    code space WIDER than the cap (e.g. neighbor counts with
+    max_cells > 1024) is split by code RANGE into sub-histograms and the
+    pieces re-concatenated — the between-entry splitter alone would put
+    it in one over-budget launch."""
+    if any(n > _COL_CAP for _, _, n in codes):
+        outs = []
+        for c, v, n in codes:
+            if n <= _COL_CAP:
+                outs.append(seg_counts_pallas(labels, [(c, v, n)], max_cells)[0])
+                continue
+            parts = []
+            for off in range(0, n, _COL_CAP):
+                nb = min(_COL_CAP, n - off)
+                m = v & (c >= off) & (c < off + nb)
+                parts.append(
+                    seg_counts_pallas(labels, [(c - off, m, nb)], max_cells)[0]
+                )
+            outs.append(jnp.concatenate(parts, axis=1))
+        return outs
     # split the entry list into column groups under the cap
     groups, cur, cur_cols = [], [], 0
     for entry in codes:

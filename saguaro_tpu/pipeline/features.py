@@ -99,6 +99,17 @@ class FeatureConfig:
     # exact path, float arrays the adaptive one)
     integer_intensity_grid: bool | None = None
 
+    def __post_init__(self):
+        # fail at CONFIG construction, not deep inside the jitted
+        # measurement trace (where a bad knob would kill the whole batch)
+        for name in ("granularity_subsample", "granularity_bg_sample"):
+            v = getattr(self, name)
+            if not (0.0 < v <= 1.0) or abs(round(1.0 / v) * v - 1.0) > 1e-9:
+                raise ValueError(
+                    f"{name}={v} must be a reciprocal integer in (0, 1]"
+                    " (CP's granularity subsample is an exact strided gather)"
+                )
+
 
 @jax.jit
 def otsu_threshold(image: jax.Array, nbins: int = 256) -> jax.Array:
@@ -197,8 +208,12 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 labels, cfg.max_cells, cfg.convex_dirs, area=shape["Area"]
             )
             # per-site QC scalar, not a per-object feature: boundary pixels
-            # dropped by the hull sweep's static compaction bound
-            out["image"][f"BoundaryCompaction_Overflow_{obj_name}"] = conv.pop(
+            # dropped by the hull sweep's static compaction bound. Named
+            # Metadata_* so the profile stages treat it as admin data (it
+            # must NOT ride the Normalized_features_{t}.csv schema as a
+            # feature — constant 0 on clean plates would mad_robustize to
+            # NaN; drop_admin_columns removes Metadata_ columns).
+            out["image"][f"Metadata_BoundaryCompactionOverflow_{obj_name}"] = conv.pop(
                 "BoundaryOverflow"
             )
             for k, v in conv.items():

@@ -456,13 +456,24 @@ class SegmentEmbedEngine:
                         (np.zeros((0, n_ch, FEATURE_LENGTH), np.float32),
                          np.zeros((0, 2), np.int64))
                     )
-        for sid, labels, (feats, coords) in zip(site_ids, labels_list, per_site):
+        # surface max_cells truncation: cells with ids beyond the static
+        # bound are silently absent from crops/measurement, so a dense
+        # site must be distinguishable from a clean one in the logs (same
+        # QC contract as the hull-overflow count). Maxes are reduced ON
+        # DEVICE and fetched as ONE packed scalar array per batch — a
+        # per-site np.asarray(labels) would pull ~4.7 MB of full-res
+        # labels each through the relay just to log (CLAUDE.md: labels
+        # stay device-resident, only small results cross back).
+        n_segs = np.asarray(
+            jnp.stack(
+                [jnp.max(jnp.asarray(l).astype(jnp.int32)) for l in labels_list]
+            )
+        )
+        for sid, labels, n_seg, (feats, coords) in zip(
+            site_ids, labels_list, n_segs, per_site
+        ):
             try:
-                # surface max_cells truncation: cells with ids beyond the
-                # static bound are silently absent from crops/measurement,
-                # so a dense site must be distinguishable from a clean one
-                # in the logs (same QC contract as the hull-overflow count)
-                n_seg = int(np.asarray(labels).max())
+                n_seg = int(n_seg)
                 n_trunc = max(0, n_seg - (self.cfg.max_cells - 1))
                 if n_trunc:
                     logger.warning(

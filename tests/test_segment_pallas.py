@@ -60,6 +60,26 @@ class TestCounts:
         for a, b in zip(ours, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_single_code_space_wider_than_cap(self, data):
+        """One entry wider than _COL_CAP splits by code RANGE (not just
+        between entries) — e.g. neighbor counts at max_cells > 1024 —
+        and the stitched histogram is bit-exact vs the XLA path."""
+        from saguaro_tpu.kernels import segment_pallas
+
+        labels, codes, valid, _, _ = data
+        wide = segment_pallas._COL_CAP + 400
+        rng = np.random.default_rng(11)
+        c = jnp.asarray(rng.integers(0, wide, N).astype(np.int32))
+        entries = [
+            (c, jnp.asarray(valid[0]), wide),
+            (jnp.asarray(codes[1]), jnp.asarray(valid[1]), 16),
+        ]
+        ours = seg_counts_pallas(labels, entries, MC)
+        ref = onehot_counts(labels, entries, MC)
+        assert ours[0].shape == (MC, wide)
+        for a, b in zip(ours, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_vmapped_batch(self, data):
         labels, codes, valid, _, _ = data
         lab_b = jnp.stack([labels, (labels + 7) % MC])
