@@ -131,6 +131,55 @@ class TestFusedEquality:
         assert out["edge"] is None and out["radial"] is None
         assert out["shape"]["Area"].shape == (MAX_CELLS,)
 
+    @pytest.mark.parametrize(
+        "flags",
+        [
+            # mixed combinations shift the gathered-table column offsets
+            # (o_bbox/o_rmax/o_mean/o_emean) — both the XLA lane fns
+            # (enclosing-scope offsets) and the Pallas twins (cached
+            # factory offsets, fused_measure._make_lanes_c_fn_t) must
+            # agree for EVERY combination, not just all-on/all-off
+            dict(with_moments=False),                      # shifts o_rmax
+            dict(with_zernike=False),                      # radial keeps rmax
+            dict(with_zernike=False, with_radial=False),   # drops rmax col
+            dict(with_edge=False),                         # drops edge mean
+            dict(with_moments=False, with_edge=False, with_radial=False),
+        ],
+    )
+    def test_mixed_flag_combos_xla_equals_pallas(self, site, flags, monkeypatch):
+        import jax
+
+        image, labels = site
+        base = fused_object_features(image, labels, MAX_CELLS, n_rings=4, **flags)
+        monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
+        jax.clear_caches()
+        forced = fused_object_features(image, labels, MAX_CELLS, n_rings=4, **flags)
+        monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
+        jax.clear_caches()
+
+        def cmp(a, b, msg):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-3, err_msg=msg
+            )
+
+        for key in ("shape", "intensity", "moments", "edge", "radial"):
+            xa, xb = base[key], forced[key]
+            assert (xa is None) == (xb is None), key
+            if xa is None:
+                continue
+            for k in xa:
+                cmp(xa[k], xb[k], f"{flags} {key}/{k}")
+        if base["zernike"] is not None:
+            cmp(base["zernike"], forced["zernike"], f"{flags} zernike")
+        # anchor against an independent oracle so a shared wrong offset
+        # cannot pass: intensity means must match multichannel_stats
+        ref_int, _ = multichannel_stats(image, labels, MAX_CELLS)
+        cmp(
+            base["intensity"]["MeanIntensity"],
+            ref_int["MeanIntensity"],
+            f"{flags} mean anchor",
+        )
+
     def test_overflow_labels_routed_to_background(self, site):
         image, labels = site
         hot = labels.copy()
