@@ -92,7 +92,69 @@ def timed(fn, iters=3):
     return best
 
 
+def wait_for_backend(budget_s: float | None = None) -> bool:
+    """Bounded retry/backoff until the TPU backend initializes.
+
+    The axon relay has multi-minute outage windows (BENCH.md r3: backend
+    init returned UNAVAILABLE for hours; shorter blips are common) and a
+    failed jax backend init poisons the process, so each probe runs in a
+    SUBPROCESS with a hard timeout (init can also hang instead of
+    erroring). Returns True when a probe completes a device matmul;
+    False when the budget (default 900 s, env BENCH_INIT_RETRY_S) runs
+    out — the caller then proceeds and fails with the real error, so
+    the driver still records a truthful stack trace.
+    """
+    import subprocess
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_INIT_RETRY_S", "900"))
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "print('ok', np.asarray(x @ x)[0, 0])"
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                f"[bench] backend probe budget exhausted after {attempt - 1} "
+                "attempts; proceeding anyway",
+                file=sys.stderr,
+                flush=True,
+            )
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=min(240.0, max(remaining, 30.0)),
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"[bench] backend up after {attempt} probes",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        wait = min(60.0, 5.0 * attempt, max(deadline - time.monotonic(), 0.0))
+        print(
+            f"[bench] backend probe {attempt} failed; retrying in {wait:.0f}s "
+            f"({deadline - time.monotonic():.0f}s of budget left)",
+            file=sys.stderr,
+            flush=True,
+        )
+        if wait > 0:
+            time.sleep(wait)
+
+
 def main() -> None:
+    wait_for_backend()
     import jax
     import jax.numpy as jnp
 
