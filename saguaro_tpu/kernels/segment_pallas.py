@@ -52,6 +52,7 @@ interpreter mode.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -627,7 +628,13 @@ def seg_lane_sums_pallas(
 # EDT horizontal sweep: all 2R+1 shifted min-adds VMEM-resident per row block
 
 
-_EDT_ROWS = 64  # rows per grid step (8-row blocks were grid-overhead-bound)
+# Rows per grid step. 8-row blocks were grid-overhead-bound (97 ms/batch,
+# BENCH.md); 64 rows hit Mosaic's 16M scoped-VMEM STACK limit after the
+# 2026-08-19 libtpu update (the unrolled 2R+1 min-add chain's live
+# temporaries count against the kernel stack: 17.73M at 64 rows, R=64).
+# 32 rows keeps the stack at ~half the limit with grid overhead already
+# amortized.
+_EDT_ROWS = int(os.environ.get("SAGUARO_EDT_ROWS", "32"))
 
 
 @functools.lru_cache(maxsize=None)
