@@ -1,0 +1,478 @@
+"""Per-object colocalization statistics — CP 4.2.8 MeasureColocalization.
+
+The reference's CellProfiler engine emits the full colocalization set per
+channel pair (Correlation, Slope, Overlap, K, Manders, RWC, Costes) and
+the downstream profile stages consume every numeric column
+(Normalize_CP_ami.py:47-64, Pycyto_pertime.py:61-75). The Pearson
+correlation and slope already ride the fused C2 lane scan
+(kernels/fused_measure.py); Overlap/K derive algebraically from the same
+sums. This module supplies the three THRESHOLDED families, which need
+machinery of their own:
+
+  Manders M1/M2   per-object 15 %-of-max thresholds on both channels,
+                  masked sums over the "combined" (both-above) pixel set
+  RWC             the Manders sums weighted by (R - |rank_f - rank_s|)/R
+                  where rank_* are DENSE ranks of the pixel intensities
+                  over the whole masked pixel vector (CP lexsort/cumsum
+                  semantics) and R = max rank + 1
+  Costes C1/C2    image-wide automated thresholds from CP's
+                  linear_costes descent (orthogonal regression line,
+                  Pearson of below-threshold pixels stepped to <= 0),
+                  then per-object masked sums
+
+TPU formulation (no scatters, no per-element gathers):
+
+  * dense ranks: two-level (hi, lo) byte decomposition of the 16-bit
+    intensity code. A (256, 256) presence table per channel comes from
+    ONE onehot_counts contraction; exclusive cumsums turn it into a
+    dense-rank lookup table; per-pixel ranks are recovered by a chunked
+    one-hot row-pick (matmul against the table, elementwise lo select) —
+    exact for integer-grid (uint16) inputs, 16-bit-quantized tie
+    structure for float inputs.
+  * Costes: per-pair joint (code_f, code_s) COUNT tables at the CP
+    threshold grid (1/costes_scale steps; CP's own default scale is
+    255), double suffix-cumsums giving O(1) rectangle sums of
+    (n, Sf, Ss, Sff, Sss, Sfs), and a vmapped lax.while_loop stepping
+    the threshold down exactly as CP's linear_costes (fast or accurate
+    stepping). Thresholds and region sums are exact when pixel values
+    lie on the grid (e.g. 8-bit-scaled data at scale 255); off-grid
+    values bin to the floor code — documented in docs/PARITY.md.
+  * the masked per-object sums for all three families ride ONE
+    fused_measure._lane_scan pass (pass E) whose lanes are built
+    in-chunk from the raw values, the rank images, and the per-object
+    thresholds gathered from a (max_cells, C) table.
+
+Scale invariance lets every lane run on RAW intensity values (all ten
+statistics are ratios); only the Costes threshold search normalizes to
+CP's [0, 1] convention (uint16 -> /65535; floats -> /global max).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dense_rank_images",
+    "costes_thresholds",
+    "coloc_threshold_sums",
+    "colocalization_features",
+]
+
+
+def _exclusive_cumsum(x, axis):
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+def _pick_rows(hi, lo, table, chunk=32768):
+    """Per-pixel 2-level table lookup: out[i] = table[hi[i], lo[i]].
+
+    table: (256, 256) f32 of integer values < 2^24 (dense ranks). The row
+    gather is a one-hot matmul (3-term bf16 split — exact for 24-bit
+    ints), the column pick an elementwise one-hot multiply-sum; neither
+    materializes a full-size gather.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import _bf16_split3, _summed_dots
+
+    n = hi.shape[0]
+    n_pad = (-n) % chunk
+    hi_f = jnp.pad(hi, (0, n_pad))
+    lo_f = jnp.pad(lo, (0, n_pad))
+    n_chunks = (n + n_pad) // chunk
+    t_hi, t_mid, t_lo = _bf16_split3(table)
+
+    def body(_, idx):
+        sl = idx * chunk
+        hi_c = jax.lax.dynamic_slice_in_dim(hi_f, sl, chunk)
+        lo_c = jax.lax.dynamic_slice_in_dim(lo_f, sl, chunk)
+        hi_oh = jax.nn.one_hot(hi_c, 256, dtype=jnp.bfloat16)
+        dot = lambda t: jax.lax.dot_general(
+            hi_oh, t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rows = _summed_dots(dot, t_hi, t_mid, t_lo)  # (chunk, 256)
+        lo_oh = jax.nn.one_hot(lo_c, 256, dtype=jnp.float32)
+        return None, jnp.sum(rows * lo_oh, axis=1)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return ys.reshape(-1)[:n]
+
+
+def dense_rank_images(codes: jax.Array, inside: jax.Array):
+    """Dense intensity ranks over the masked pixel vector, per channel.
+
+    codes: (N, C) int32 16-bit intensity codes; inside: (N,) bool mask
+    (the object set's ``labels > 0``). Returns (ranks (N, C) f32 — dense
+    rank of each pixel's value among the DISTINCT values present inside
+    the mask, 0-based; n_distinct (C,) f32). Matches CP's
+    lexsort/cumsum dense ranking (measurecolocalization.py RWC block)
+    exactly for integer-grid inputs; outside-mask pixels get rank 0
+    (they never enter a masked sum).
+    """
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
+    n, n_ch = codes.shape
+    hi = (codes >> 8).astype(jnp.int32)
+    lo = (codes & 0xFF).astype(jnp.int32)
+    ranks = []
+    n_distinct = []
+    for c in range(n_ch):
+        # outside pixels ride the CODE valid-mask (zero one-hot row) so the
+        # label operand needs no masking of its own
+        (cnt2,) = onehot_counts(
+            hi[:, c], [(lo[:, c], inside, 256)], 256
+        )  # (256 hi, 256 lo) counts of inside pixels
+        presence = (cnt2 > 0).astype(jnp.float32)
+        lo_excl = _exclusive_cumsum(presence, axis=1)
+        row_tot = jnp.sum(presence, axis=1)
+        hi_off = _exclusive_cumsum(row_tot, axis=0)
+        rank_table = hi_off[:, None] + lo_excl
+        ranks.append(_pick_rows(hi[:, c], lo[:, c], rank_table))
+        n_distinct.append(jnp.sum(presence))
+    return jnp.stack(ranks, axis=1), jnp.stack(n_distinct)
+
+
+# ---------------------------------------------------------------------------
+# Costes automated thresholds (CP linear_costes transcription)
+# ---------------------------------------------------------------------------
+
+
+def _suffix2(table):
+    """S[i, j] = sum_{a>=i, b>=j} table[a, b], padded so index S -> 0."""
+    s = jnp.flip(jnp.cumsum(jnp.flip(table, 0), axis=0), 0)
+    s = jnp.flip(jnp.cumsum(jnp.flip(s, 1), axis=1), 1)
+    return jnp.pad(s, ((0, 1), (0, 1)))
+
+
+def costes_thresholds(
+    values: jax.Array,
+    inside: jax.Array,
+    pairs: tuple[tuple[int, int], ...],
+    scale: int = 255,
+    fast: bool = True,
+):
+    """CP 4.2.8 linear_costes for every channel pair at once.
+
+    values: (N, C) f32 intensities NORMALIZED to CP's [0, 1] convention;
+    inside: (N,) bool. Returns (thr_f (P,), thr_s (P,)) in the same
+    normalized units. Thresholds step on the 1/scale grid exactly as
+    CP's descent; region counts/moments come from per-pair joint count
+    tables, so the Pearson stopping criterion is exact for values on
+    the grid and bin-floor-approximated otherwise.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
+    n_ch = values.shape[1]
+    s_codes = scale + 1
+    code = jnp.clip((values * scale).astype(jnp.int32), 0, scale)
+
+    # joint count tables, fused by leading channel (one label one-hot
+    # per chunk serves every partner's histogram)
+    by_a: dict[int, list[int]] = {}
+    for a, b in pairs:
+        by_a.setdefault(a, []).append(b)
+    joint: dict[tuple[int, int], jax.Array] = {}
+    for a, bs in by_a.items():
+        outs = onehot_counts(
+            code[:, a],
+            [(code[:, b], inside, s_codes) for b in bs],
+            s_codes,
+        )
+        for b, t in zip(bs, outs):
+            joint[(a, b)] = t
+
+    insf = inside.astype(jnp.float32)
+    i_step = 1.0 / scale
+    val = jnp.arange(s_codes, dtype=jnp.float32) * i_step
+
+    suf_list = []
+    reg_ab = []
+    maxes = []
+    k0s = []
+    for a, b in pairs:
+        cnt2 = joint[(a, b)]
+        va2 = val[:, None]
+        vb2 = val[None, :]
+        suf = jnp.stack(
+            [
+                _suffix2(cnt2),
+                _suffix2(cnt2 * va2),
+                _suffix2(cnt2 * vb2),
+                _suffix2(cnt2 * va2 * va2),
+                _suffix2(cnt2 * vb2 * vb2),
+                _suffix2(cnt2 * va2 * vb2),
+            ],
+            axis=0,
+        )  # (6, S+1, S+1)
+        suf_list.append(suf)
+
+        fa, fb = values[:, a], values[:, b]
+        nz = insf * ((fa > 0) | (fb > 0)).astype(jnp.float32)
+        m = jnp.maximum(jnp.sum(nz), 1.0)
+        xm = jnp.sum(fa * nz) / m
+        ym = jnp.sum(fb * nz) / m
+        dd = jnp.maximum(m - 1.0, 1.0)
+        xvar = jnp.sum((fa - xm) ** 2 * nz) / dd
+        yvar = jnp.sum((fb - ym) ** 2 * nz) / dd
+        zm = xm + ym
+        zvar = jnp.sum((fa + fb - zm) ** 2 * nz) / dd
+        covar = 0.5 * (zvar - (xvar + yvar))
+        denom = 2.0 * covar
+        num = (yvar - xvar) + jnp.sqrt((yvar - xvar) ** 2 + 4.0 * covar**2)
+        slope_a = num / denom
+        slope_b = ym - slope_a * xm
+        reg_ab.append(jnp.stack([slope_a, slope_b]))
+
+        big = jnp.float32(3.4e38)
+        fa_max = jnp.max(jnp.where(inside, fa, -big))
+        fb_max = jnp.max(jnp.where(inside, fb, -big))
+        maxes.append(jnp.stack([fa_max, fb_max]))
+        img_max = jnp.maximum(fa_max, fb_max)
+        # i = i_step * ((img_max // i_step) + 1); track k = i / i_step
+        k0s.append(jnp.floor(img_max / i_step) + 1.0)
+
+    sufs = jnp.stack(suf_list)          # (P, 6, S+1, S+1)
+    regs = jnp.stack(reg_ab)            # (P, 2)
+    mx = jnp.stack(maxes)               # (P, 2)
+    k0 = jnp.stack(k0s)                 # (P,)
+
+    def pearson_below(suf, ia, jb):
+        """Pearson over the complement of the [ia:, jb:] rectangle."""
+        rect = jax.lax.dynamic_slice(suf, (0, ia, jb), (6, 1, 1))[:, 0, 0]
+        tot = suf[:, 0, 0]
+        n, sf, ss, sff, sss, sfs = tuple(tot - rect)
+        num = n * sfs - sf * ss
+        den = jnp.sqrt(
+            jnp.maximum(n * sff - sf * sf, 0.0)
+            * jnp.maximum(n * sss - ss * ss, 0.0)
+        )
+        # scipy.pearsonr on constant input returns nan (CP then keeps
+        # stepping: nan fails every <=/> branch and falls to step 1)
+        return jnp.where(den > 0, num / den, jnp.nan), n
+
+    def one_pair(suf, reg, mxp, k_init):
+        a, b = reg[0], reg[1]
+        fa_max, fb_max = mxp[0], mxp[1]
+
+        # skip-loop: while i > fi_max and a*i+b > si_max: i -= i_step
+        def skip_cond(k):
+            i = k * i_step
+            return (i > fa_max) & (a * i + b > fb_max)
+
+        k = jax.lax.while_loop(skip_cond, lambda k: k - 1.0, k_init)
+
+        # main loop over (k, thr_k, done); thr assigned at loop TOP
+        def cond(st):
+            k, thr_k, done = st
+            return (k > 1.0) & ~done
+
+        def body(st):
+            k, _, done = st
+            thr_f = k * i_step
+            thr_s = a * thr_f + b
+            ia = jnp.clip(k, 0, s_codes).astype(jnp.int32)
+            jb = jnp.clip(jnp.ceil(thr_s * scale), 0, s_codes).astype(jnp.int32)
+            cost_reg, n_below = pearson_below(suf, ia, jb)
+            # CP: pearsonr raises on < 2 points -> break (thr keeps this i)
+            stop = (cost_reg <= 0) | (n_below < 2.0)
+            step = jnp.where(
+                (~jnp.asarray(fast)) | (k < 10.0),
+                1.0,
+                jnp.where(
+                    cost_reg > 0.45, 10.0,
+                    jnp.where(cost_reg > 0.35, 5.0,
+                              jnp.where(cost_reg > 0.25, 2.0, 1.0)),
+                ),
+            )
+            return (k - step, k, stop)
+
+        k_fin, thr_k, _ = jax.lax.while_loop(cond, body, (k, k_init, False))
+        # if the main loop never ran, CP returns the pre-skip start i
+        thr_f = thr_k * i_step
+        return thr_f, a * thr_f + b
+
+    thr_f, thr_s = jax.vmap(one_pair)(sufs, regs, mx, k0)
+    return thr_f, thr_s
+
+
+# ---------------------------------------------------------------------------
+# pass E: the thresholded masked sums (one lane scan per object set)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_lanes_e_fn_t(n_ch: int, pairs: tuple[tuple[int, int], ...]):
+    def lanes_e_fn_t(lab_row, g, consts, in_c, vr_c, rk_c):
+        # lane-major twin: vr_c/rk_c are (C, TILE), g (C, TILE) gathered
+        # tff rows; consts = (costes thr_f (P,1-ish), thr_s, invR) ride
+        # as (1, P) kernel inputs
+        thr_a2, thr_b2, inv_r2 = consts
+        above = (vr_c > g).astype(jnp.float32) * in_c[None]
+        rows = [vr_c * above]
+        mand, rwcs, cots = [], [], []
+        for p, (a, b) in enumerate(pairs):
+            cmb = above[a] * above[b]
+            mand.append((vr_c[a] * cmb)[None])
+            mand.append((vr_c[b] * cmb)[None])
+            w = (1.0 - jnp.abs(rk_c[a] - rk_c[b]) * inv_r2[0, p])
+            rwcs.append((vr_c[a] * w * cmb)[None])
+            rwcs.append((vr_c[b] * w * cmb)[None])
+            ca = (vr_c[a] > thr_a2[0, p]).astype(jnp.float32) * in_c
+            cb = (vr_c[b] > thr_b2[0, p]).astype(jnp.float32) * in_c
+            cc = ca * cb
+            cots.append((vr_c[a] * cc)[None])
+            cots.append((vr_c[b] * cc)[None])
+            cots.append((vr_c[a] * ca)[None])
+            cots.append((vr_c[b] * cb)[None])
+        return jnp.concatenate(rows + mand + rwcs + cots, axis=0)
+
+    return lanes_e_fn_t
+
+
+def coloc_threshold_sums(
+    seg: jax.Array,
+    inside: jax.Array,
+    vr: jax.Array,
+    ranks: jax.Array,
+    tff: jax.Array,
+    thr_f: jax.Array,
+    thr_s: jax.Array,
+    inv_r: jax.Array,
+    pairs: tuple[tuple[int, int], ...],
+    max_cells: int,
+):
+    """Pass E: every thresholded masked sum in one lane scan.
+
+    seg: (N,) int32 compact labels; inside: (N,) f32; vr: (N, C) raw
+    values; ranks: (N, C) dense ranks; tff: (max_cells, C) per-object
+    Manders thresholds (gathered in-scan); thr_f/thr_s: (P,) Costes
+    thresholds in RAW units; inv_r: (P,) 1/R rank normalizers.
+    Returns (max_cells, C + 8P) sums ordered
+    [tot_thr (C) | Manders fa,fb per pair | RWC fa,fb | Costes fa,fb,
+    denom_a, denom_b].
+    """
+    from saguaro_tpu.kernels.fused_measure import _lane_scan
+
+    n_ch = vr.shape[1]
+    p = len(pairs)
+
+    def lanes_e_fn(seg_c, g, in_c, vr_c, rk_c):
+        above = (vr_c > g).astype(jnp.float32) * in_c[:, None]
+        cols = [vr_c * above]
+        mand, rwcs, cots = [], [], []
+        for i, (a, b) in enumerate(pairs):
+            cmb = above[:, a] * above[:, b]
+            mand.append(vr_c[:, a] * cmb)
+            mand.append(vr_c[:, b] * cmb)
+            w = 1.0 - jnp.abs(rk_c[:, a] - rk_c[:, b]) * inv_r[i]
+            rwcs.append(vr_c[:, a] * w * cmb)
+            rwcs.append(vr_c[:, b] * w * cmb)
+            ca = (vr_c[:, a] > thr_f[i]).astype(jnp.float32) * in_c
+            cb = (vr_c[:, b] > thr_s[i]).astype(jnp.float32) * in_c
+            cc = ca * cb
+            cots.append(vr_c[:, a] * cc)
+            cots.append(vr_c[:, b] * cc)
+            cots.append(vr_c[:, a] * ca)
+            cots.append(vr_c[:, b] * cb)
+        cols2 = [c[:, None] for c in mand + rwcs + cots]
+        return jnp.concatenate(cols + cols2, axis=1)
+
+    lanes_e_fn_t = _make_lanes_e_fn_t(n_ch, pairs)
+    n_lanes = n_ch + 8 * p
+    return _lane_scan(
+        seg, [inside, vr, ranks], lanes_e_fn, n_lanes, max_cells,
+        tables=tff, lane_fn_t=lanes_e_fn_t,
+        consts=(thr_f, thr_s, inv_r),
+    )
+
+
+def colocalization_features(
+    image: jax.Array,
+    labels: jax.Array,
+    vmax: jax.Array,
+    max_cells: int,
+    thr_pct: float = 15.0,
+    costes_scale: int = 255,
+    costes_fast: bool = True,
+    integer_grid: bool = True,
+):
+    """All thresholded colocalization statistics for one object set.
+
+    image: (H, W, C) raw intensities; labels: (H, W) int32; vmax:
+    (max_cells, C) per-object channel maxima (from the fused pass B).
+    Returns {(a, b): {"M1", "M2", "RWC1", "RWC2", "C1", "C2"}} of
+    (max_cells,) arrays plus {"costes_thr": (thr_f, thr_s)} in
+    normalized units (Image-table deliverable). Empty denominators
+    yield 0 (framework convention; CP emits nan there).
+    """
+    h, w, n_ch = image.shape
+    pairs = tuple((a, b) for a in range(n_ch) for b in range(a + 1, n_ch))
+    if not pairs:
+        return {"costes_thr": (jnp.zeros((0,)), jnp.zeros((0,)))}
+    flat = labels.reshape(-1).astype(jnp.int32)
+    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
+    inside_m = flat > 0
+    inside = inside_m.astype(jnp.float32)
+    vr = image.reshape(-1, n_ch).astype(jnp.float32)
+
+    # 16-bit intensity codes: raw uint16 values ARE the code (exact CP
+    # tie structure); floats quantize on the global range (ranks keep
+    # ordering, ties at 16-bit resolution)
+    if integer_grid:
+        codes = jnp.clip(vr.astype(jnp.int32), 0, 65535)
+        norm = jnp.float32(65535.0)
+    else:
+        big = jnp.float32(3.4e38)
+        vmin_g = jnp.min(jnp.where(inside_m[:, None], vr, big), axis=0)
+        vmax_g = jnp.max(jnp.where(inside_m[:, None], vr, -big), axis=0)
+        span = jnp.maximum(vmax_g - vmin_g, 1e-12)
+        codes = jnp.clip(
+            ((vr - vmin_g) / span * 65535.0).astype(jnp.int32), 0, 65535
+        )
+        norm = jnp.maximum(jnp.max(jnp.where(inside_m[:, None], vr, 0.0)), 1e-12)
+
+    ranks, n_distinct = dense_rank_images(codes, inside_m)
+    # R = max(max_rank_a, max_rank_b) + 1 = max(n_a, n_b)
+    inv_r = jnp.stack(
+        [1.0 / jnp.maximum(jnp.maximum(n_distinct[a], n_distinct[b]), 1.0)
+         for a, b in pairs]
+    )
+
+    thr_f_n, thr_s_n = costes_thresholds(
+        vr / norm, inside_m, pairs, scale=costes_scale, fast=costes_fast
+    )
+    thr_f = thr_f_n * norm
+    thr_s = thr_s_n * norm
+
+    tff = (thr_pct / 100.0) * jnp.where(
+        jnp.isfinite(vmax) & (jnp.abs(vmax) < 3.38e38), vmax, 0.0
+    )
+    sums = coloc_threshold_sums(
+        seg, inside, vr, ranks, tff, thr_f, thr_s, inv_r, pairs, max_cells
+    )
+    tot_thr = sums[:, :n_ch]
+    p = len(pairs)
+    o = n_ch
+    mand = sums[:, o : o + 2 * p]
+    rwcs = sums[:, o + 2 * p : o + 4 * p]
+    cots = sums[:, o + 4 * p :]
+
+    def safe(num, den):
+        return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+    out = {}
+    for i, (a, b) in enumerate(pairs):
+        out[(a, b)] = {
+            "M1": safe(mand[:, 2 * i], tot_thr[:, a]),
+            "M2": safe(mand[:, 2 * i + 1], tot_thr[:, b]),
+            "RWC1": safe(rwcs[:, 2 * i], tot_thr[:, a]),
+            "RWC2": safe(rwcs[:, 2 * i + 1], tot_thr[:, b]),
+            "C1": safe(cots[:, 4 * i], cots[:, 4 * i + 2]),
+            "C2": safe(cots[:, 4 * i + 1], cots[:, 4 * i + 3]),
+        }
+    out["costes_thr"] = (thr_f_n, thr_s_n)
+    return out

@@ -52,7 +52,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _make_lanes_a_fn_t(with_edge: bool):
+def _make_lanes_a_fn_t(with_edge: bool, n_ch: int):
+    # uncentered quadratic lanes (v^2, v_a*v_b) feed the CP
+    # MeasureColocalization Overlap/K statistics exactly (centered-sum
+    # reconstruction would inherit the gathered-mean ulp error)
+    pairs = [(a, b) for a in range(n_ch) for b in range(a + 1, n_ch)]
+
     def lanes_a_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, pw_c, vr_c):
         # lane-major twin of lanes_a_fn ((C, TILE) blocks, same order)
         v_c = vr_c * in_c
@@ -60,6 +65,9 @@ def _make_lanes_a_fn_t(with_edge: bool):
                 b_c[None], pw_c[None], v_c, y_c * v_c, x_c * v_c]
         if with_edge:
             rows.append(vr_c * b_c)
+        rows.append(vr_c * v_c)
+        if pairs:
+            rows.append(jnp.stack([vr_c[a] * v_c[b] for a, b in pairs], axis=0))
         return jnp.concatenate(rows, axis=0)
 
     return lanes_a_fn_t
@@ -146,6 +154,19 @@ def _make_lanes_c_fn_t(
                 mask = (ring_c == r).astype(jnp.float32)
                 rows.append((in_c * mask)[None])
                 rows.append(v_c * mask)
+            # RadialCV octant wedges (CP measureobjectintensitydistribution:
+            # index = (i > ic) + 2*(j > jc) + 4*(|di| > |dj|))
+            wedge_c = (
+                (dy_c > 0).astype(jnp.int32)
+                + 2 * (dx_c > 0).astype(jnp.int32)
+                + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
+            )
+            for r in range(n_rings):
+                rm = ring_c == r
+                for w8 in range(8):
+                    m = (rm & (wedge_c == w8)).astype(jnp.float32)
+                    rows.append((in_c * m)[None])
+                    rows.append(v_c * m)
         return jnp.concatenate(rows, axis=0)
 
     return lanes_c_fn_t
@@ -298,17 +319,24 @@ def fused_object_features(
             [c if c.ndim == 2 else c[:, None] for c in cols], axis=1
         )
 
+    a_pairs = [(a, b) for a in range(n_ch) for b in range(a + 1, n_ch)]
+
     def lanes_a_fn(seg_c, in_c, y_c, x_c, b_c, pw_c, vr_c):
         v_c = vr_c * in_c[:, None]
         cols = [in_c, y_c * in_c, x_c * in_c, b_c, pw_c, v_c,
                 y_c[:, None] * v_c, x_c[:, None] * v_c]
         if with_edge:
             cols.append(vr_c * b_c[:, None])
+        cols.append(vr_c * v_c)
+        if a_pairs:
+            cols.append(
+                jnp.stack([vr_c[:, a] * v_c[:, b] for a, b in a_pairs], axis=1)
+            )
         return _cat(cols)
 
-    lanes_a_fn_t = _make_lanes_a_fn_t(with_edge)
+    lanes_a_fn_t = _make_lanes_a_fn_t(with_edge, n_ch)
 
-    n_lanes_a = 5 + 3 * n_ch + (n_ch if with_edge else 0)
+    n_lanes_a = 5 + 4 * n_ch + len(a_pairs) + (n_ch if with_edge else 0)
     sums_a = _lane_scan(
         seg, [inside, yf, xf, boundary, pweight, vr], lanes_a_fn, n_lanes_a,
         max_cells, lane_fn_t=lanes_a_fn_t,
@@ -320,6 +348,10 @@ def fused_object_features(
     wx = sums_a[:, o + 2 * n_ch : o + 3 * n_ch]
     o += 3 * n_ch
     edge_s = sums_a[:, o : o + n_ch] if with_edge else None
+    if with_edge:
+        o += n_ch
+    sum_vv = sums_a[:, o : o + n_ch]  # per-channel sum(v^2)
+    sum_vw = sums_a[:, o + n_ch : o + n_ch + len(a_pairs)]  # sum(v_a * v_b)
 
     denom = jnp.maximum(cnt, 1.0)
     cy, cx = sy / denom, sx / denom
@@ -424,6 +456,9 @@ def fused_object_features(
         # rmax column, so the former keyed pass D (a ~70 ms/object-set
         # scatter plus its own rmax take-scan) disappears entirely
         spec_c.append(("radial", n_rings * (1 + n_ch)))
+        # RadialCV 8-wedge sums (CP's anisotropy measure) share the same
+        # ring/centroid arithmetic in-chunk
+        spec_c.append(("radialcv", n_rings * 8 * (1 + n_ch)))
     ymin_z = jnp.where(zero, 0.0, ymin)
     xmin_z = jnp.where(zero, 0.0, xmin)
 
@@ -493,6 +528,17 @@ def fused_object_features(
                 mask = (ring_c == r).astype(jnp.float32)
                 cols.append(in_c * mask)
                 cols.append(v_c * mask[:, None])
+            wedge_c = (
+                (dy_c > 0).astype(jnp.int32)
+                + 2 * (dx_c > 0).astype(jnp.int32)
+                + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
+            )
+            for r in range(n_rings):
+                rm = ring_c == r
+                for w8 in range(8):
+                    m = (rm & (wedge_c == w8)).astype(jnp.float32)
+                    cols.append(in_c * m)
+                    cols.append(v_c * m[:, None])
         return _cat(cols)
 
     lanes_c_fn_t = _make_lanes_c_fn_t(
@@ -527,6 +573,36 @@ def fused_object_features(
             "FracAtD": jnp.where(zr, 0.0, frac_at_d),
             "MeanFrac": jnp.where(zr, 0.0, mean_frac),
         }
+        # RadialCV: per (object, ring) coefficient of variation of the 8
+        # wedges' mean intensities, wedges with no pixels excluded
+        # (CP measureobjectintensitydistribution masked-array semantics;
+        # population std). Objects/rings with no populated wedge -> 0.
+        rcv = parts["radialcv"].reshape(max_cells, n_rings, 8, 1 + n_ch)
+        wcnt = rcv[..., 0]
+        wsum = rcv[..., 1:]
+        present = wcnt > 0
+        wmean = jnp.where(
+            present[..., None], wsum / jnp.maximum(wcnt[..., None], 1.0), 0.0
+        )
+        npres = jnp.maximum(jnp.sum(present, axis=2), 1)[..., None]
+        mean_w = jnp.sum(wmean, axis=2) / npres
+        var_w = (
+            jnp.sum(
+                jnp.where(
+                    present[..., None],
+                    (wmean - mean_w[:, :, None, :]) ** 2,
+                    0.0,
+                ),
+                axis=2,
+            )
+            / npres
+        )
+        any_w = jnp.sum(present, axis=2)[..., None] > 0
+        radial_out["RadialCV"] = jnp.where(
+            any_w & (mean_w > 0) & ~zr,
+            jnp.sqrt(var_w) / jnp.maximum(mean_w, 1e-30),
+            0.0,
+        )
 
     # ---------------- assemble family outputs ----------------
     z = lambda a: jnp.where(zero, 0.0, a)
@@ -648,6 +724,22 @@ def fused_object_features(
         sl = cov / jnp.maximum(var[:, a], 1e-12)
         corr[(a, b)] = (jnp.where(zero1, 0.0, c), jnp.where(zero1, 0.0, sl))
 
+    # CP MeasureColocalization Overlap / K1 / K2 from the exact
+    # uncentered pass-A quadratics (measurecolocalization.py:
+    # overlap = sum(fi*si)/sqrt(sum(fi^2)*sum(si^2)), K = sum(fi*si)
+    # over each channel's squared sum); scale-invariant, so raw values
+    # stand in for CP's [0,1]-scaled pixels
+    coloc_quad = {}
+    for i, (a, b) in enumerate(pairs):
+        pdt = sum_vw[:, i]
+        fsq, ssq = sum_vv[:, a], sum_vv[:, b]
+        den_o = jnp.sqrt(fsq * ssq)
+        coloc_quad[(a, b)] = (
+            jnp.where(den_o > 0, pdt / jnp.maximum(den_o, 1e-30), 0.0),
+            jnp.where(fsq > 0, pdt / jnp.maximum(fsq, 1e-30), 0.0),
+            jnp.where(ssq > 0, pdt / jnp.maximum(ssq, 1e-30), 0.0),
+        )
+
     edge_out = None
     if with_edge:
         e_zero = (edge_cnt <= 0)[:, None]
@@ -668,6 +760,7 @@ def fused_object_features(
         "zernike": zernike_out,
         "intensity": intensity,
         "corr": corr,
+        "coloc_quad": coloc_quad,
         "edge": edge_out,
         "radial": radial_out,
     }

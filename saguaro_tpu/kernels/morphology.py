@@ -72,6 +72,7 @@ def propagate_labels(
     iterations: int | None = None,
     regularization: float = 0.05,
     check_every: int = 8,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """CP IdentifySecondaryObjects 'propagation': a cost-based label race.
 
@@ -96,7 +97,10 @@ def propagate_labels(
     """
     lam = jnp.float32(regularization)
     img = intensity.astype(jnp.float32)
-    claimable = img > threshold
+    # CP separates the claimable DOMAIN (the thresholded — possibly
+    # smoothed — binary image, identifysecondaryobjects.py) from the
+    # COST image (the original stain); ``mask`` carries the former
+    claimable = (img > threshold) if mask is None else mask
     seeded = labels > 0
     big = jnp.float32(3.4e38)
 

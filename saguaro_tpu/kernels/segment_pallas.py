@@ -464,7 +464,12 @@ def _lane_sums_fn(
         off += 1 if k_tab else 0
         const_refs = refs[off : off + n_const]
         out_ref = refs[-1]
-        consts = tuple(c[...] for c in const_refs)
+        # rank-3 const blocks are PER-SITE values (batched under the
+        # site vmap, e.g. Costes thresholds) carrying a leading (1,)
+        # batch block; rank-2 blocks are shared tables (Zernike coeffs)
+        consts = tuple(
+            c[0] if len(c.shape) == 3 else c[...] for c in const_refs
+        )
         i = pl.program_id(1)
 
         @pl.when(i == 0)
@@ -526,7 +531,12 @@ def _lane_sums_fn(
             )
             ins.append(tab3)
         for c in consts:
-            in_specs.append(pl.BlockSpec(c.shape, lambda b, i: (0, 0)))
+            if c.ndim == 3:  # per-site (batched) const: (B, k, P)
+                in_specs.append(
+                    pl.BlockSpec((1,) + c.shape[1:], lambda b, i: (b, 0, 0))
+                )
+            else:
+                in_specs.append(pl.BlockSpec(c.shape, lambda b, i: (0, 0)))
             ins.append(c)
         return pl.pallas_call(
             kernel,
@@ -554,7 +564,8 @@ def _lane_sums_fn(
             base2 = jnp.broadcast_to(base2, (axis_size,) + base2.shape)
         if not tab_b:
             tab2 = jnp.broadcast_to(tab2, (axis_size,) + tab2.shape)
-        # consts are per-call constants — never batched
+        # consts: unbatched ones stay shared (rank 2); batched ones
+        # (per-site thresholds) arrive rank 3 with the batch leading
         return batched(lab3, base2, tab2, *consts), True
 
     return f

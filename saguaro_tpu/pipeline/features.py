@@ -67,6 +67,17 @@ class FeatureConfig:
     secondary_method: str = "propagation"
     secondary_regularization: float = 0.05
     secondary_iterations: int | None = None
+    # CP 4.2.8 Threshold-module knobs (cellprofiler threshold.py): the
+    # reference's .cppipe settings are unknowable, so the standard knob
+    # set is exposed with the repo's historical defaults (global
+    # two-class 256-bin Otsu, no transform/smoothing/correction)
+    secondary_threshold_method: str = "otsu"   # 'otsu' | 'otsu3' | 'li'
+    secondary_threshold_log: bool = False       # log1p before, expm1 after
+    secondary_otsu3_middle_foreground: bool = True
+    secondary_threshold_smoothing: float = 0.0  # CP scale; sigma=s/0.6744/2
+    secondary_threshold_correction: float = 1.0
+    secondary_threshold_lower: float = 0.0
+    secondary_threshold_upper: float = 3.0e38
     granularity_length: int = 16
     # CP MeasureGranularity module defaults (measureimagegranularity.py)
     granularity_subsample: float = 0.25
@@ -81,6 +92,12 @@ class FeatureConfig:
     measure_radius: bool = True       # AreaShape Mean/Median/MaximumRadius
     measure_convex: bool = True       # AreaShape Solidity/Feret diameters
     measure_moments: bool = True      # AreaShape Spatial/Central/Normalized/Hu
+    # CP MeasureColocalization thresholded families (Manders/RWC/Costes);
+    # Overlap/K/Correlation/Slope always ride the fused scans
+    measure_colocalization: bool = True
+    coloc_threshold_pct: float = 15.0  # CP "% of maximum" default 15
+    costes_scale: int = 255            # CP linear_costes threshold grid
+    costes_fast: bool = True           # CP "Fast" stepping vs "Accurate"
     radial_rings: int = 4
     neighbor_distance: int = 5
     # EDT horizontal-sweep bound: radii are exact while the nearest
@@ -151,12 +168,33 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
     # cytoplasmic channel; we use the mean of the non-nuclear channels, or
     # the nuclear channel itself when it is the only one.
     body = jnp.mean(image[..., 1:], axis=-1) if n_ch > 1 else image[..., 0]
-    thr = otsu_threshold(body)
+    from saguaro_tpu.kernels.thresholding import (
+        global_threshold,
+        smooth_for_binarize,
+    )
+
+    li_tol = 0.5 if cfg.integer_intensity_grid else 1e-4
+    thr, orig_thr = global_threshold(
+        body,
+        method=cfg.secondary_threshold_method,
+        log_transform=cfg.secondary_threshold_log,
+        middle_foreground=cfg.secondary_otsu3_middle_foreground,
+        correction=cfg.secondary_threshold_correction,
+        lower_bound=cfg.secondary_threshold_lower,
+        upper_bound=cfg.secondary_threshold_upper,
+        li_tolerance=li_tol,
+    )
+    if cfg.secondary_threshold_smoothing > 0:
+        sigma = cfg.secondary_threshold_smoothing / 0.6744 / 2.0
+        claim_mask = smooth_for_binarize(body, sigma) >= thr
+    else:
+        claim_mask = body >= thr  # CP binarizes with >=
     if cfg.secondary_method == "propagation":
         cells = propagate_labels(
             nuclei, body, thr,
             iterations=cfg.secondary_iterations,
             regularization=cfg.secondary_regularization,
+            mask=claim_mask,
         )
     else:
         # CP's 'distance' flavor dilates a FIXED radius, so None keeps the
@@ -307,10 +345,39 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 for r in range(cfg.radial_rings):
                     feats[f"RadialDistribution_FracAtD_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["FracAtD"][:, r, c]
                     feats[f"RadialDistribution_MeanFrac_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["MeanFrac"][:, r, c]
+                    feats[f"RadialDistribution_RadialCV_{ch_name}_{r + 1}of{cfg.radial_rings}"] = rad["RadialCV"][:, r, c]
         for (a, b), (corr_ab, slope_ab) in corr_mc.items():
             pair = f"{cfg.channels[a]}_{cfg.channels[b]}"
             feats[f"Correlation_Correlation_{pair}"] = corr_ab
             feats[f"Correlation_Slope_{pair}"] = slope_ab
+        for (a, b), (ov, k1, k2) in fused["coloc_quad"].items():
+            na, nb = cfg.channels[a], cfg.channels[b]
+            feats[f"Correlation_Overlap_{na}_{nb}"] = ov
+            feats[f"Correlation_K_{na}_{nb}"] = k1
+            feats[f"Correlation_K_{nb}_{na}"] = k2
+        if cfg.measure_colocalization and n_ch > 1:
+            from saguaro_tpu.kernels.colocalization import (
+                colocalization_features,
+            )
+
+            coloc = colocalization_features(
+                image, labels, fused["stats"][2], cfg.max_cells,
+                thr_pct=cfg.coloc_threshold_pct,
+                costes_scale=cfg.costes_scale,
+                costes_fast=cfg.costes_fast,
+                integer_grid=bool(cfg.integer_intensity_grid),
+            )
+            for key, st in coloc.items():
+                if key == "costes_thr":
+                    continue
+                a, b = key
+                na, nb = cfg.channels[a], cfg.channels[b]
+                feats[f"Correlation_Manders_{na}_{nb}"] = st["M1"]
+                feats[f"Correlation_Manders_{nb}_{na}"] = st["M2"]
+                feats[f"Correlation_RWC_{na}_{nb}"] = st["RWC1"]
+                feats[f"Correlation_RWC_{nb}_{na}"] = st["RWC2"]
+                feats[f"Correlation_Costes_{na}_{nb}"] = st["C1"]
+                feats[f"Correlation_Costes_{nb}_{na}"] = st["C2"]
         out["objects"][obj_name] = feats
         out["image"][f"Count_{obj_name}"] = jnp.sum(
             (shape["Area"] > 0).astype(jnp.int32)
@@ -330,10 +397,39 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             element_size=cfg.granularity_element_size,
         )
         out["image"][f"Granularity_{ch_name}"] = gran
-        out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(image[..., c])
-        out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(image[..., c])
-        out["image"][f"Intensity_MaxIntensity_{ch_name}"] = jnp.max(image[..., c])
+        # CP MeasureImageIntensity aggregate set (numpy percentile
+        # semantics at image level, unlike the object-level order
+        # statistics — measureimageintensity.py); consumed downstream as
+        # "all numeric Image columns" (Pycyto_pertime.py:61-65)
+        ch_img = image[..., c]
+        med = jnp.median(ch_img)
+        vmax_img = jnp.max(ch_img)
+        out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(ch_img)
+        out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(ch_img)
+        out["image"][f"Intensity_MaxIntensity_{ch_name}"] = vmax_img
+        out["image"][f"Intensity_MinIntensity_{ch_name}"] = jnp.min(ch_img)
+        out["image"][f"Intensity_StdIntensity_{ch_name}"] = jnp.std(ch_img)
+        out["image"][f"Intensity_MedianIntensity_{ch_name}"] = med
+        out["image"][f"Intensity_MADIntensity_{ch_name}"] = jnp.median(
+            jnp.abs(ch_img - med)
+        )
+        out["image"][f"Intensity_LowerQuartileIntensity_{ch_name}"] = (
+            jnp.percentile(ch_img, 25.0)
+        )
+        out["image"][f"Intensity_UpperQuartileIntensity_{ch_name}"] = (
+            jnp.percentile(ch_img, 75.0)
+        )
+        out["image"][f"Intensity_PercentMaximal_{ch_name}"] = 100.0 * jnp.mean(
+            (ch_img >= vmax_img).astype(jnp.float32)
+        )
+        out["image"][f"Intensity_TotalArea_{ch_name}"] = jnp.float32(
+            ch_img.shape[0] * ch_img.shape[1]
+        )
     out["image"]["Threshold_Secondary"] = thr
+    # CP Threshold-module bookkeeping columns (threshold.py add_threshold
+    # measurements): the corrected/clipped value and the raw one
+    out["image"]["Threshold_FinalThreshold_Cells"] = thr
+    out["image"]["Threshold_OrigThreshold_Cells"] = orig_thr
     return out
 
 

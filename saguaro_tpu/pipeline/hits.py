@@ -171,6 +171,17 @@ def run_induction_hit(
         plt.ylabel("Compound")
         plt.xticks(rotation=45, ha="right", fontsize=10)
         plt.yticks(fontsize=6)
+        # reference legend/layout contract (Inuction_Score_hit.py:237-241)
+        from matplotlib.patches import Patch
+
+        legend_elements = [
+            Patch(facecolor="black", label="Active", edgecolor="black")
+        ]
+        plt.legend(
+            handles=legend_elements, loc="upper left",
+            bbox_to_anchor=(1.05, 1), borderaxespad=0.0,
+        )
+        plt.tight_layout()
         outputs["plots"].append(
             _save_fig(bucket_name, f"{output_prefix}/compound_bioactivity_heatmap_plate_{plate_id}.png")
         )

@@ -378,3 +378,191 @@ def cp_quantile_intensity(vals: np.ndarray):
         return v[j] * (1 - f) + v[min(j + 1, n - 1)] * f
 
     return med, mad, q(0.25), q(0.75)
+
+
+# ---------------------------------------------------------------------------
+# CP 4.2.8 MeasureColocalization (measurecolocalization.py,
+# run_image_pair_objects + linear_costes) — per-object colocalization
+# statistics for one channel pair. Consumed downstream as
+# Correlation_<Stat>_<chA>_<chB> columns (Normalize_CP_ami.py:47-64).
+# ---------------------------------------------------------------------------
+
+
+def cp_linear_costes_oracle(fi, si, scale_max=255, fast=True):
+    """CP 4.2.8 linear_costes: orthogonal (Deming) regression between the
+    two channels, then step the first-channel threshold DOWN from the
+    image maximum until the Pearson correlation of the below-threshold
+    pixels reaches <= 0. ``fast`` uses CP's accelerated stepping (larger
+    steps while the correlation is far from zero)."""
+    import scipy.stats
+
+    fi = np.asarray(fi, np.float64)
+    si = np.asarray(si, np.float64)
+    i_step = 1.0 / scale_max
+    non_zero = (fi > 0) | (si > 0)
+    xvar = np.var(fi[non_zero], axis=0, ddof=1)
+    yvar = np.var(si[non_zero], axis=0, ddof=1)
+    xmean = np.mean(fi[non_zero], axis=0)
+    ymean = np.mean(si[non_zero], axis=0)
+    z = fi[non_zero] + si[non_zero]
+    zvar = np.var(z, axis=0, ddof=1)
+    covar = 0.5 * (zvar - (xvar + yvar))
+    denom = 2.0 * covar
+    num = (yvar - xvar) + np.sqrt((yvar - xvar) ** 2 + 4.0 * covar**2)
+    a = num / denom
+    b = ymean - a * xmean
+
+    # start one step above the maximum
+    img_max = max(fi.max(), si.max())
+    i = i_step * ((img_max // i_step) + 1)
+    num_true = None
+    fi_max = fi.max()
+    si_max = si.max()
+
+    costReg, _ = scipy.stats.pearsonr(fi, si)
+    thr_fi_c = i
+    thr_si_c = (a * i) + b
+
+    # skip down while both thresholds exceed their channel maxima
+    while i > fi_max and (a * i) + b > si_max:
+        i -= i_step
+    while i > i_step:
+        thr_fi_c = i
+        thr_si_c = (a * i) + b
+        combt = (fi < thr_fi_c) | (si < thr_si_c)
+        try:
+            if (positives := np.count_nonzero(combt)) != num_true:
+                costReg, _ = scipy.stats.pearsonr(fi[combt], si[combt])
+                num_true = positives
+            if costReg <= 0:
+                break
+            elif not fast or i < i_step * 10:
+                i -= i_step
+            elif costReg > 0.45:
+                i -= i_step * 10
+            elif costReg > 0.35:
+                i -= i_step * 5
+            elif costReg > 0.25:
+                i -= i_step * 2
+            else:
+                i -= i_step
+        except ValueError:
+            break
+    return thr_fi_c, thr_si_c
+
+
+def cp_colocalization_oracle(
+    fi_img, si_img, labels, thr_pct=15.0, scale_max=255, fast=True
+):
+    """CP 4.2.8 run_image_pair_objects per-object statistics.
+
+    ``fi_img``/``si_img``: the two channels, already scaled the way CP
+    sees them (floats in [0,1]); ``labels``: int labels, 0 = background.
+    Returns dict of (n_objects,) arrays indexed by label-1:
+    Correlation, Overlap, K1, K2, M1, M2, RWC1, RWC2, C1, C2.
+    Denominator-zero entries come out nan (CP's raw division semantics).
+    """
+    import scipy.ndimage as scind
+
+    mask = labels > 0
+    labs = labels[mask].astype(np.int32)
+    fi = np.asarray(fi_img, np.float64)[mask]
+    si = np.asarray(si_img, np.float64)[mask]
+    n_obj = int(labels.max())
+    lrange = np.arange(n_obj, dtype=np.int32) + 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        area = np.asarray(scind.sum(np.ones_like(fi), labs, lrange))
+
+        # Pearson per object
+        mean1 = np.asarray(scind.mean(fi, labs, lrange))
+        mean2 = np.asarray(scind.mean(si, labs, lrange))
+        std1 = np.asarray(scind.standard_deviation(fi, labs, lrange))
+        std2 = np.asarray(scind.standard_deviation(si, labs, lrange))
+        x = fi - mean1[labs - 1]
+        y = si - mean2[labs - 1]
+        corr = np.asarray(
+            scind.sum(x * y / (std1[labs - 1] * std2[labs - 1]), labs, lrange)
+        ) / area
+
+        # Manders / RWC thresholds: percentage of each object's maximum
+        tff = (thr_pct / 100.0) * np.asarray(scind.maximum(fi, labs, lrange))
+        tss = (thr_pct / 100.0) * np.asarray(scind.maximum(si, labs, lrange))
+        combined_thresh = (fi > tff[labs - 1]) & (si > tss[labs - 1])
+        fi_thresh = fi[combined_thresh]
+        si_thresh = si[combined_thresh]
+        tot_fi_thr = np.asarray(
+            scind.sum(fi[fi > tff[labs - 1]], labs[fi > tff[labs - 1]], lrange)
+        )
+        tot_si_thr = np.asarray(
+            scind.sum(si[si > tss[labs - 1]], labs[si > tss[labs - 1]], lrange)
+        )
+
+        M1 = np.asarray(
+            scind.sum(fi_thresh, labs[combined_thresh], lrange)
+        ) / tot_fi_thr
+        M2 = np.asarray(
+            scind.sum(si_thresh, labs[combined_thresh], lrange)
+        ) / tot_si_thr
+
+        # RWC: dense ranks over the full masked pixel vectors
+        Rank1 = np.lexsort([fi])
+        Rank2 = np.lexsort([si])
+        Rank1_U = np.hstack([[False], fi[Rank1[:-1]] != fi[Rank1[1:]]])
+        Rank2_U = np.hstack([[False], si[Rank2[:-1]] != si[Rank2[1:]]])
+        Rank1_S = np.cumsum(Rank1_U)
+        Rank2_S = np.cumsum(Rank2_U)
+        Rank_im1 = np.zeros(fi.shape, dtype=int)
+        Rank_im2 = np.zeros(si.shape, dtype=int)
+        Rank_im1[Rank1] = Rank1_S
+        Rank_im2[Rank2] = Rank2_S
+        R = max(Rank_im1.max(), Rank_im2.max()) + 1
+        Di = abs(Rank_im1 - Rank_im2)
+        weight = (R - Di) * 1.0 / R
+        weight_thresh = weight[combined_thresh]
+        RWC1 = np.asarray(
+            scind.sum(fi_thresh * weight_thresh, labs[combined_thresh], lrange)
+        ) / tot_fi_thr
+        RWC2 = np.asarray(
+            scind.sum(si_thresh * weight_thresh, labs[combined_thresh], lrange)
+        ) / tot_si_thr
+
+        # Overlap + K
+        fsq = np.asarray(scind.sum(fi * fi, labs, lrange))
+        ssq = np.asarray(scind.sum(si * si, labs, lrange))
+        pdt = np.asarray(scind.sum(fi * si, labs, lrange))
+        overlap = pdt / np.sqrt(fsq * ssq)
+        K1 = pdt / fsq
+        K2 = pdt / ssq
+
+        # Costes automated thresholds (image-wide over the masked pixels)
+        thr_fi_c, thr_si_c = cp_linear_costes_oracle(fi, si, scale_max, fast)
+        combined_thresh_c = (fi > thr_fi_c) & (si > thr_si_c)
+        fi_thresh_c = fi[combined_thresh_c]
+        si_thresh_c = si[combined_thresh_c]
+        tot_fi_thr_c = np.asarray(
+            scind.sum(fi[fi > thr_fi_c], labs[fi > thr_fi_c], lrange)
+        )
+        tot_si_thr_c = np.asarray(
+            scind.sum(si[si > thr_si_c], labs[si > thr_si_c], lrange)
+        )
+        C1 = np.asarray(
+            scind.sum(fi_thresh_c, labs[combined_thresh_c], lrange)
+        ) / tot_fi_thr_c
+        C2 = np.asarray(
+            scind.sum(si_thresh_c, labs[combined_thresh_c], lrange)
+        ) / tot_si_thr_c
+
+    return {
+        "Correlation": corr,
+        "Overlap": overlap,
+        "K1": K1,
+        "K2": K2,
+        "M1": M1,
+        "M2": M2,
+        "RWC1": RWC1,
+        "RWC2": RWC2,
+        "C1": C1,
+        "C2": C2,
+        "thr_fi_c": thr_fi_c,
+        "thr_si_c": thr_si_c,
+    }

@@ -529,3 +529,78 @@ class TestConvertByOrder:
         with jax.default_matmul_precision("highest"):
             got = np.asarray(model.apply(converted, x))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestFullScaleEffNetL:
+    """Full-size EFFNETV2_L conversion dress rehearsal (VERDICT r3 item 8):
+    the production conversion path — timm-named torch mirror (~118M
+    params, random weights) -> convert_effnet_state_dict -> BN fold +
+    gray-stem fold -> one embed chunk through the engine — exercised at
+    full scale, not just tiny configs (Cellpose_GPU_s3fs.py:27,109-110).
+    """
+
+    def test_full_l_convert_fold_embed(self, rng):
+        import jax
+
+        from saguaro_tpu.models.effnetv2 import EFFNETV2_L, EffNetV2
+        from saguaro_tpu.pipeline.segment_embed import (
+            SegmentEmbedConfig,
+            SegmentEmbedEngine,
+        )
+
+        tmodel = TEffNetV2(EFFNETV2_L)
+        tmodel.eval()
+        with torch.no_grad():
+            _randomize_bn_stats(tmodel, rng)
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        n_params = sum(int(np.prod(v.shape)) for v in sd.values())
+        assert n_params > 100_000_000, n_params  # full L, not a tiny config
+
+        model = EffNetV2(EFFNETV2_L)
+        variables = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, EFFNETV2_L.input_size, EFFNETV2_L.input_size, 3),
+                         np.float32),
+            )
+        )
+        # materialize zeros matching the shape tree (init at 480^2 is slow)
+        variables = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), variables
+        )
+        converted = convert_effnet_state_dict(sd, variables, EFFNETV2_L)
+        conv_leaves = flatten_tree(converted)
+        want_leaves = flatten_tree(variables)
+        assert set(conv_leaves) == set(want_leaves)
+        for k, v in conv_leaves.items():
+            assert v.shape == want_leaves[k].shape, k
+
+        # activation parity at a reduced input size (the nets are fully
+        # convolutional; 192^2 keeps the torch CPU forward tractable
+        # while every one of the 79 blocks runs with its real weights)
+        x = rng.normal(size=(1, 192, 192, 3)).astype(np.float32) * 0.1
+        with torch.no_grad():
+            want = tmodel(torch.tensor(np.moveaxis(x, -1, 1))).numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(converted, x))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+        # engine path: BN fold + gray-stem fold + one pooled embed chunk
+        cfg = SegmentEmbedConfig(
+            channels=["DNA", "ER"], box_size=64, max_cells=8,
+            embed_chunk=4, embed_size=192, min_size=3, site_batch=1,
+            effnet=EFFNETV2_L,
+        )
+        engine = SegmentEmbedEngine(cfg, effnet_variables=converted, seed=0)
+        h = w = 128
+        img = rng.integers(80, 4000, (h, w, 2)).astype(np.uint16)
+        lab = np.zeros((h, w), np.int32)
+        lab[40:60, 40:60] = 1
+        lab[70:100, 70:100] = 2
+        per_site = engine.embed_sites_pooled(
+            np.stack([img]), [np.asarray(lab, np.int32)]
+        )
+        feats, coords = per_site[0]
+        assert feats.shape == (2, 2 * 1280)
+        assert np.isfinite(feats).all()
