@@ -59,6 +59,7 @@ __all__ = [
     "costes_thresholds",
     "coloc_threshold_sums",
     "colocalization_features",
+    "colocalization_features_multiset",
 ]
 
 
@@ -67,39 +68,83 @@ def _exclusive_cumsum(x, axis):
     return c - x
 
 
-def _pick_rows(hi, lo, table, chunk=32768):
-    """Per-pixel 2-level table lookup: out[i] = table[hi[i], lo[i]].
+def _pick_rows_mc(hi, lo, tables, chunk=32768):
+    """Per-pixel 2-level table lookups, every table sharing each pixel's
+    one-hot: out[i, k] = tables[g(k)][hi[i, c(k)], lo[i, c(k)], k'].
 
-    table: (256, 256) f32 of integer values < 2^24 (dense ranks). The row
-    gather is a one-hot matmul (3-term bf16 split — exact for 24-bit
-    ints), the column pick an elementwise one-hot multiply-sum; neither
-    materializes a full-size gather.
+    hi/lo: (N, C) int32 byte codes; tables: (C, 256, 256, K) f32 of
+    16-bit integer values (dense ranks; K tables per channel — e.g. one
+    per object set). Each table splits EXACTLY into two byte planes
+    t = 256*t_hi + t_lo with both planes in [0, 256); shifting by -128
+    puts them in int8 range, so the row gather runs as s8 x s8 -> s32
+    MXU dots (2x the bf16 rate, exact) with the +128 offset restored in
+    closed form (the one-hot row sums to 1). The column pick is an
+    elementwise one-hot multiply-sum. 15 separate f32 scans held
+    ~1.3 s/batch-8 of the device profile; the merged s8 scan leaves
+    only the (irreducible) 2-level dot FLOPs.
     """
-    from saguaro_tpu.kernels.onehot_reduce import _bf16_split3, _summed_dots
-
-    n = hi.shape[0]
+    n, n_ch = hi.shape
+    k_tab = tables.shape[-1]
     n_pad = (-n) % chunk
-    hi_f = jnp.pad(hi, (0, n_pad))
-    lo_f = jnp.pad(lo, (0, n_pad))
+    hi_f = jnp.pad(hi, ((0, n_pad), (0, 0)))
+    lo_f = jnp.pad(lo, ((0, n_pad), (0, 0)))
     n_chunks = (n + n_pad) // chunk
-    t_hi, t_mid, t_lo = _bf16_split3(table)
+    t_hi_plane = jnp.floor(tables / 256.0)
+    t_lo_plane = tables - t_hi_plane * 256.0
+    # (C, 256, 256*K) s8 with the -128 shift
+    t_hi8 = (t_hi_plane - 128.0).astype(jnp.int8).reshape(n_ch, 256, 256 * k_tab)
+    t_lo8 = (t_lo_plane - 128.0).astype(jnp.int8).reshape(n_ch, 256, 256 * k_tab)
 
     def body(_, idx):
         sl = idx * chunk
         hi_c = jax.lax.dynamic_slice_in_dim(hi_f, sl, chunk)
         lo_c = jax.lax.dynamic_slice_in_dim(lo_f, sl, chunk)
-        hi_oh = jax.nn.one_hot(hi_c, 256, dtype=jnp.bfloat16)
-        dot = lambda t: jax.lax.dot_general(
-            hi_oh, t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rows = _summed_dots(dot, t_hi, t_mid, t_lo)  # (chunk, 256)
-        lo_oh = jax.nn.one_hot(lo_c, 256, dtype=jnp.float32)
-        return None, jnp.sum(rows * lo_oh, axis=1)
+        outs = []
+        for c in range(n_ch):
+            hi_oh = jax.nn.one_hot(hi_c[:, c], 256, dtype=jnp.int8)
+            dot = lambda t: jax.lax.dot_general(
+                hi_oh, t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            r_hi, r_lo = jax.lax.optimization_barrier(
+                (dot(t_hi8[c]), dot(t_lo8[c]))
+            )  # (chunk, 256*K) s32, offset by -128
+            rows = (
+                256.0 * (r_hi.astype(jnp.float32) + 128.0)
+                + (r_lo.astype(jnp.float32) + 128.0)
+            ).reshape(hi_oh.shape[0], 256, k_tab)
+            lo_oh = jax.nn.one_hot(lo_c[:, c], 256, dtype=jnp.float32)
+            outs.append(jnp.sum(rows * lo_oh[:, :, None], axis=1))  # (chunk, K)
+        return None, jnp.stack(outs, axis=1)  # (chunk, C, K)
 
     _, ys = jax.lax.scan(body, None, jnp.arange(n_chunks))
-    return ys.reshape(-1)[:n]
+    return ys.reshape(-1, n_ch, k_tab)[:n]
+
+
+def _rank_table(cnt2: jax.Array):
+    """(256, 256) value-count table -> (dense-rank lookup table,
+    n_distinct). rank[v] = number of DISTINCT present values < v."""
+    presence = (cnt2 > 0).astype(jnp.float32)
+    lo_excl = _exclusive_cumsum(presence, axis=1)
+    row_tot = jnp.sum(presence, axis=1)
+    hi_off = _exclusive_cumsum(row_tot, axis=0)
+    return hi_off[:, None] + lo_excl, jnp.sum(presence)
+
+
+def _value_count_tables(hi, lo, insides):
+    """Per (channel, mask) joint byte-count tables, each channel's masks
+    sharing ONE label one-hot per chunk: returns (C, 256, 256, M)."""
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
+    n_ch = hi.shape[1]
+    out = []
+    for c in range(n_ch):
+        cnts = onehot_counts(
+            hi[:, c], [(lo[:, c], m, 256) for m in insides], 256
+        )
+        out.append(jnp.stack(cnts, axis=-1))
+    return jnp.stack(out)  # (C, 256, 256, M)
 
 
 def dense_rank_images(codes: jax.Array, inside: jax.Array):
@@ -113,27 +158,18 @@ def dense_rank_images(codes: jax.Array, inside: jax.Array):
     exactly for integer-grid inputs; outside-mask pixels get rank 0
     (they never enter a masked sum).
     """
-    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
-
     n, n_ch = codes.shape
     hi = (codes >> 8).astype(jnp.int32)
     lo = (codes & 0xFF).astype(jnp.int32)
-    ranks = []
+    cnts = _value_count_tables(hi, lo, [inside])  # (C, 256, 256, 1)
+    tables = []
     n_distinct = []
     for c in range(n_ch):
-        # outside pixels ride the CODE valid-mask (zero one-hot row) so the
-        # label operand needs no masking of its own
-        (cnt2,) = onehot_counts(
-            hi[:, c], [(lo[:, c], inside, 256)], 256
-        )  # (256 hi, 256 lo) counts of inside pixels
-        presence = (cnt2 > 0).astype(jnp.float32)
-        lo_excl = _exclusive_cumsum(presence, axis=1)
-        row_tot = jnp.sum(presence, axis=1)
-        hi_off = _exclusive_cumsum(row_tot, axis=0)
-        rank_table = hi_off[:, None] + lo_excl
-        ranks.append(_pick_rows(hi[:, c], lo[:, c], rank_table))
-        n_distinct.append(jnp.sum(presence))
-    return jnp.stack(ranks, axis=1), jnp.stack(n_distinct)
+        t, nd = _rank_table(cnts[c, :, :, 0])
+        tables.append(t[:, :, None])
+        n_distinct.append(nd)
+    ranks = _pick_rows_mc(hi, lo, jnp.stack(tables))[:, :, 0]
+    return ranks, jnp.stack(n_distinct)
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +190,7 @@ def costes_thresholds(
     pairs: tuple[tuple[int, int], ...],
     scale: int = 255,
     fast: bool = True,
+    joint: dict[tuple[int, int], jax.Array] | None = None,
 ):
     """CP 4.2.8 linear_costes for every channel pair at once.
 
@@ -171,19 +208,21 @@ def costes_thresholds(
     code = jnp.clip((values * scale).astype(jnp.int32), 0, scale)
 
     # joint count tables, fused by leading channel (one label one-hot
-    # per chunk serves every partner's histogram)
-    by_a: dict[int, list[int]] = {}
-    for a, b in pairs:
-        by_a.setdefault(a, []).append(b)
-    joint: dict[tuple[int, int], jax.Array] = {}
-    for a, bs in by_a.items():
-        outs = onehot_counts(
-            code[:, a],
-            [(code[:, b], inside, s_codes) for b in bs],
-            s_codes,
-        )
-        for b, t in zip(bs, outs):
-            joint[(a, b)] = t
+    # per chunk serves every partner's histogram); callers with several
+    # object sets pass precomputed/summed tables instead
+    if joint is None:
+        by_a: dict[int, list[int]] = {}
+        for a, b in pairs:
+            by_a.setdefault(a, []).append(b)
+        joint = {}
+        for a, bs in by_a.items():
+            outs = onehot_counts(
+                code[:, a],
+                [(code[:, b], inside, s_codes) for b in bs],
+                s_codes,
+            )
+            for b, t in zip(bs, outs):
+                joint[(a, b)] = t
 
     insf = inside.astype(jnp.float32)
     i_step = 1.0 / scale
@@ -390,6 +429,161 @@ def coloc_threshold_sums(
     )
 
 
+def _intensity_codes(vr, inside_m, integer_grid: bool):
+    """16-bit intensity codes + the CP [0,1] normalizer: raw uint16
+    values ARE the code (exact CP tie structure); floats quantize on the
+    global range (ranks keep ordering, ties at 16-bit resolution)."""
+    if integer_grid:
+        return jnp.clip(vr.astype(jnp.int32), 0, 65535), jnp.float32(65535.0)
+    big = jnp.float32(3.4e38)
+    vmin_g = jnp.min(jnp.where(inside_m[:, None], vr, big), axis=0)
+    vmax_g = jnp.max(jnp.where(inside_m[:, None], vr, -big), axis=0)
+    span = jnp.maximum(vmax_g - vmin_g, 1e-12)
+    codes = jnp.clip(
+        ((vr - vmin_g) / span * 65535.0).astype(jnp.int32), 0, 65535
+    )
+    norm = jnp.maximum(jnp.max(jnp.where(inside_m[:, None], vr, 0.0)), 1e-12)
+    return codes, norm
+
+
+def colocalization_features_multiset(
+    image: jax.Array,
+    labels_by_set: dict[str, jax.Array],
+    vmax_by_set: dict[str, jax.Array],
+    max_cells: int,
+    thr_pct: float = 15.0,
+    costes_scale: int = 255,
+    costes_fast: bool = True,
+    integer_grid: bool = True,
+    additive: tuple[str, str, str] | None = ("Cells", "Nuclei", "Cytoplasm"),
+):
+    """Thresholded colocalization statistics for SEVERAL object sets at
+    once, sharing the per-pixel work:
+
+      * one set of 16-bit intensity codes;
+      * value-count AND Costes joint tables for the two DISJOINT sets
+        only (``additive`` = (whole, part1, part2) with
+        whole = part1 (+) part2 — Cells = Nuclei ∪ Cytoplasm by
+        construction in pipeline/features.py) — the whole set's tables
+        are the SUM, saving a third of the counting contractions;
+      * ONE merged s8 rank-pick scan across sets x channels.
+
+    Returns {set_name: single-set result dict} (same shape as
+    ``colocalization_features``).
+    """
+    h, w, n_ch = image.shape
+    names = list(labels_by_set)
+    pairs = tuple((a, b) for a in range(n_ch) for b in range(a + 1, n_ch))
+    if not pairs:
+        return {nm: {"costes_thr": (jnp.zeros((0,)), jnp.zeros((0,)))}
+                for nm in names}
+    vr = image.reshape(-1, n_ch).astype(jnp.float32)
+    flats = {nm: labels_by_set[nm].reshape(-1).astype(jnp.int32) for nm in names}
+    insides = {nm: flats[nm] > 0 for nm in names}
+    any_inside = insides[names[0]]
+    for nm in names[1:]:
+        any_inside = any_inside | insides[nm]
+    codes, norm = _intensity_codes(vr, any_inside, integer_grid)
+    hi = (codes >> 8).astype(jnp.int32)
+    lo = (codes & 0xFF).astype(jnp.int32)
+
+    if additive is not None and all(nm in labels_by_set for nm in additive):
+        whole, p1, p2 = additive
+        count_names = [p1, p2]
+        derive = {whole: (p1, p2)}
+    else:
+        count_names = names
+        derive = {}
+
+    # ---- rank tables: counted sets share one label one-hot per channel
+    cnts = _value_count_tables(hi, lo, [insides[nm] for nm in count_names])
+    cnt_by = {nm: cnts[..., i] for i, nm in enumerate(count_names)}
+    for whole, (p1, p2) in derive.items():
+        cnt_by[whole] = cnt_by[p1] + cnt_by[p2]
+    tables = []      # (C, 256, 256, n_sets) in `names` order
+    n_distinct = {}
+    for c in range(n_ch):
+        per_set = []
+        for nm in names:
+            t, nd = _rank_table(cnt_by[nm][c])
+            per_set.append(t)
+            n_distinct.setdefault(nm, []).append(nd)
+        tables.append(jnp.stack(per_set, axis=-1))
+    ranks_all = _pick_rows_mc(hi, lo, jnp.stack(tables))  # (N, C, n_sets)
+
+    # ---- Costes joint tables: same disjoint-union sharing
+    from saguaro_tpu.kernels.onehot_reduce import onehot_counts
+
+    s_codes = costes_scale + 1
+    code_s = jnp.clip((vr / norm * costes_scale).astype(jnp.int32), 0, costes_scale)
+    by_a: dict[int, list[int]] = {}
+    for a, b in pairs:
+        by_a.setdefault(a, []).append(b)
+    joint_by: dict[str, dict] = {nm: {} for nm in count_names}
+    for a, bs in by_a.items():
+        outs = onehot_counts(
+            code_s[:, a],
+            [(code_s[:, b], insides[nm], s_codes) for b in bs for nm in count_names],
+            s_codes,
+        )
+        i = 0
+        for b in bs:
+            for nm in count_names:
+                joint_by[nm][(a, b)] = outs[i]
+                i += 1
+    for whole, (p1, p2) in derive.items():
+        joint_by[whole] = {
+            k: joint_by[p1][k] + joint_by[p2][k] for k in joint_by[p1]
+        }
+
+    out = {}
+    for k_set, nm in enumerate(names):
+        inside_m = insides[nm]
+        inside = inside_m.astype(jnp.float32)
+        seg = jnp.where((flats[nm] > 0) & (flats[nm] < max_cells), flats[nm], 0)
+        ranks = ranks_all[:, :, k_set]
+        nd = n_distinct[nm]
+        inv_r = jnp.stack(
+            [1.0 / jnp.maximum(jnp.maximum(nd[a], nd[b]), 1.0) for a, b in pairs]
+        )
+        thr_f_n, thr_s_n = costes_thresholds(
+            vr / norm, inside_m, pairs, scale=costes_scale,
+            fast=costes_fast, joint=joint_by[nm],
+        )
+        thr_f = thr_f_n * norm
+        thr_s = thr_s_n * norm
+        vmax = vmax_by_set[nm]
+        tff = (thr_pct / 100.0) * jnp.where(
+            jnp.isfinite(vmax) & (jnp.abs(vmax) < 3.38e38), vmax, 0.0
+        )
+        sums = coloc_threshold_sums(
+            seg, inside, vr, ranks, tff, thr_f, thr_s, inv_r, pairs, max_cells
+        )
+        tot_thr = sums[:, :n_ch]
+        p = len(pairs)
+        o = n_ch
+        mand = sums[:, o : o + 2 * p]
+        rwcs = sums[:, o + 2 * p : o + 4 * p]
+        cots = sums[:, o + 4 * p :]
+
+        def safe(num, den):
+            return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+        res = {}
+        for i, (a, b) in enumerate(pairs):
+            res[(a, b)] = {
+                "M1": safe(mand[:, 2 * i], tot_thr[:, a]),
+                "M2": safe(mand[:, 2 * i + 1], tot_thr[:, b]),
+                "RWC1": safe(rwcs[:, 2 * i], tot_thr[:, a]),
+                "RWC2": safe(rwcs[:, 2 * i + 1], tot_thr[:, b]),
+                "C1": safe(cots[:, 4 * i], cots[:, 4 * i + 2]),
+                "C2": safe(cots[:, 4 * i + 1], cots[:, 4 * i + 3]),
+            }
+        res["costes_thr"] = (thr_f_n, thr_s_n)
+        out[nm] = res
+    return out
+
+
 def colocalization_features(
     image: jax.Array,
     labels: jax.Array,
@@ -400,7 +594,7 @@ def colocalization_features(
     costes_fast: bool = True,
     integer_grid: bool = True,
 ):
-    """All thresholded colocalization statistics for one object set.
+    """All thresholded colocalization statistics for ONE object set.
 
     image: (H, W, C) raw intensities; labels: (H, W) int32; vmax:
     (max_cells, C) per-object channel maxima (from the fused pass B).
@@ -409,70 +603,8 @@ def colocalization_features(
     normalized units (Image-table deliverable). Empty denominators
     yield 0 (framework convention; CP emits nan there).
     """
-    h, w, n_ch = image.shape
-    pairs = tuple((a, b) for a in range(n_ch) for b in range(a + 1, n_ch))
-    if not pairs:
-        return {"costes_thr": (jnp.zeros((0,)), jnp.zeros((0,)))}
-    flat = labels.reshape(-1).astype(jnp.int32)
-    seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
-    inside_m = flat > 0
-    inside = inside_m.astype(jnp.float32)
-    vr = image.reshape(-1, n_ch).astype(jnp.float32)
-
-    # 16-bit intensity codes: raw uint16 values ARE the code (exact CP
-    # tie structure); floats quantize on the global range (ranks keep
-    # ordering, ties at 16-bit resolution)
-    if integer_grid:
-        codes = jnp.clip(vr.astype(jnp.int32), 0, 65535)
-        norm = jnp.float32(65535.0)
-    else:
-        big = jnp.float32(3.4e38)
-        vmin_g = jnp.min(jnp.where(inside_m[:, None], vr, big), axis=0)
-        vmax_g = jnp.max(jnp.where(inside_m[:, None], vr, -big), axis=0)
-        span = jnp.maximum(vmax_g - vmin_g, 1e-12)
-        codes = jnp.clip(
-            ((vr - vmin_g) / span * 65535.0).astype(jnp.int32), 0, 65535
-        )
-        norm = jnp.maximum(jnp.max(jnp.where(inside_m[:, None], vr, 0.0)), 1e-12)
-
-    ranks, n_distinct = dense_rank_images(codes, inside_m)
-    # R = max(max_rank_a, max_rank_b) + 1 = max(n_a, n_b)
-    inv_r = jnp.stack(
-        [1.0 / jnp.maximum(jnp.maximum(n_distinct[a], n_distinct[b]), 1.0)
-         for a, b in pairs]
-    )
-
-    thr_f_n, thr_s_n = costes_thresholds(
-        vr / norm, inside_m, pairs, scale=costes_scale, fast=costes_fast
-    )
-    thr_f = thr_f_n * norm
-    thr_s = thr_s_n * norm
-
-    tff = (thr_pct / 100.0) * jnp.where(
-        jnp.isfinite(vmax) & (jnp.abs(vmax) < 3.38e38), vmax, 0.0
-    )
-    sums = coloc_threshold_sums(
-        seg, inside, vr, ranks, tff, thr_f, thr_s, inv_r, pairs, max_cells
-    )
-    tot_thr = sums[:, :n_ch]
-    p = len(pairs)
-    o = n_ch
-    mand = sums[:, o : o + 2 * p]
-    rwcs = sums[:, o + 2 * p : o + 4 * p]
-    cots = sums[:, o + 4 * p :]
-
-    def safe(num, den):
-        return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
-
-    out = {}
-    for i, (a, b) in enumerate(pairs):
-        out[(a, b)] = {
-            "M1": safe(mand[:, 2 * i], tot_thr[:, a]),
-            "M2": safe(mand[:, 2 * i + 1], tot_thr[:, b]),
-            "RWC1": safe(rwcs[:, 2 * i], tot_thr[:, a]),
-            "RWC2": safe(rwcs[:, 2 * i + 1], tot_thr[:, b]),
-            "C1": safe(cots[:, 4 * i], cots[:, 4 * i + 2]),
-            "C2": safe(cots[:, 4 * i + 1], cots[:, 4 * i + 3]),
-        }
-    out["costes_thr"] = (thr_f_n, thr_s_n)
-    return out
+    return colocalization_features_multiset(
+        image, {"obj": labels}, {"obj": vmax}, max_cells,
+        thr_pct=thr_pct, costes_scale=costes_scale, costes_fast=costes_fast,
+        integer_grid=integer_grid, additive=None,
+    )["obj"]

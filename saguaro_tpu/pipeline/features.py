@@ -206,6 +206,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
 
     objects = {"Nuclei": nuclei, "Cells": cells, "Cytoplasm": cyto}
     out: dict = {"objects": {}, "image": {}}
+    vmax_by_set: dict[str, jax.Array] = {}
 
     from saguaro_tpu.kernels.fused_measure import fused_object_features
 
@@ -355,18 +356,30 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             feats[f"Correlation_Overlap_{na}_{nb}"] = ov
             feats[f"Correlation_K_{na}_{nb}"] = k1
             feats[f"Correlation_K_{nb}_{na}"] = k2
-        if cfg.measure_colocalization and n_ch > 1:
-            from saguaro_tpu.kernels.colocalization import (
-                colocalization_features,
-            )
+        vmax_by_set[obj_name] = fused["stats"][2]
+        out["objects"][obj_name] = feats
+        out["image"][f"Count_{obj_name}"] = jnp.sum(
+            (shape["Area"] > 0).astype(jnp.int32)
+        )
 
-            coloc = colocalization_features(
-                image, labels, fused["stats"][2], cfg.max_cells,
-                thr_pct=cfg.coloc_threshold_pct,
-                costes_scale=cfg.costes_scale,
-                costes_fast=cfg.costes_fast,
-                integer_grid=bool(cfg.integer_intensity_grid),
-            )
+    if cfg.measure_colocalization and n_ch > 1:
+        # all three object sets at once: Cells = Nuclei (+) Cytoplasm by
+        # construction, so the value-count and Costes joint tables are
+        # counted for the two disjoint parts and SUMMED for Cells, and
+        # one merged s8 scan picks every set's rank image
+        from saguaro_tpu.kernels.colocalization import (
+            colocalization_features_multiset,
+        )
+
+        coloc_all = colocalization_features_multiset(
+            image, objects, vmax_by_set, cfg.max_cells,
+            thr_pct=cfg.coloc_threshold_pct,
+            costes_scale=cfg.costes_scale,
+            costes_fast=cfg.costes_fast,
+            integer_grid=bool(cfg.integer_intensity_grid),
+        )
+        for obj_name, coloc in coloc_all.items():
+            feats = out["objects"][obj_name]
             for key, st in coloc.items():
                 if key == "costes_thr":
                     continue
@@ -378,10 +391,6 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
                 feats[f"Correlation_RWC_{nb}_{na}"] = st["RWC2"]
                 feats[f"Correlation_Costes_{na}_{nb}"] = st["C1"]
                 feats[f"Correlation_Costes_{nb}_{na}"] = st["C2"]
-        out["objects"][obj_name] = feats
-        out["image"][f"Count_{obj_name}"] = jnp.sum(
-            (shape["Area"] > 0).astype(jnp.int32)
-        )
 
     # Granularity stays a PER-CHANNEL loop: vmapping the channels into
     # one program was tried and measured SLOWER (313 -> 417 ms/batch) —
@@ -402,7 +411,10 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         # statistics — measureimageintensity.py); consumed downstream as
         # "all numeric Image columns" (Pycyto_pertime.py:61-65)
         ch_img = image[..., c]
-        med = jnp.median(ch_img)
+        # one sort serves all three quantiles; MAD needs a second
+        # (value-dependent) sort — the profile showed 240 ms/batch of
+        # sort time from per-statistic calls
+        q25, med, q75 = jnp.percentile(ch_img, jnp.asarray([25.0, 50.0, 75.0]))
         vmax_img = jnp.max(ch_img)
         out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(ch_img)
         out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(ch_img)
@@ -413,12 +425,8 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         out["image"][f"Intensity_MADIntensity_{ch_name}"] = jnp.median(
             jnp.abs(ch_img - med)
         )
-        out["image"][f"Intensity_LowerQuartileIntensity_{ch_name}"] = (
-            jnp.percentile(ch_img, 25.0)
-        )
-        out["image"][f"Intensity_UpperQuartileIntensity_{ch_name}"] = (
-            jnp.percentile(ch_img, 75.0)
-        )
+        out["image"][f"Intensity_LowerQuartileIntensity_{ch_name}"] = q25
+        out["image"][f"Intensity_UpperQuartileIntensity_{ch_name}"] = q75
         out["image"][f"Intensity_PercentMaximal_{ch_name}"] = 100.0 * jnp.mean(
             (ch_img >= vmax_img).astype(jnp.float32)
         )
