@@ -82,7 +82,16 @@ def _pick_rows_mc(hi, lo, tables, chunk=32768):
     elementwise one-hot multiply-sum. 15 separate f32 scans held
     ~1.3 s/batch-8 of the device profile; the merged s8 scan leaves
     only the (irreducible) 2-level dot FLOPs.
+
+    On a real TPU this dispatches to ``segment_pallas.pick2_pallas``:
+    XLA runs these int8 one-hot dots EMULATED at ~5% of the s8 MXU rate
+    (233 ms/site at the 5-ch op point, device-measured); the Mosaic form
+    keeps the one-hots in VMEM and hits the int8 roofline.
     """
+    from saguaro_tpu.kernels.segment_pallas import pick2_pallas, use_pallas
+
+    if use_pallas():
+        return pick2_pallas(hi, lo, tables)
     n, n_ch = hi.shape
     k_tab = tables.shape[-1]
     n_pad = (-n) % chunk

@@ -76,7 +76,7 @@ def _make_lanes_a_fn_t(with_edge: bool, n_ch: int):
 @functools.lru_cache(maxsize=None)
 def _make_lanes_c_fn_t(
     with_moments: bool, with_zernike: bool, with_edge: bool,
-    with_radial: bool, n_ch: int, n_rings: int,
+    with_radial: bool, n_ch: int, n_rings: int, cp_rw: bool = False,
 ):
     # derived statics mirror fused_object_features' table-column layout
     central_orders = [pq for pq in _ORDERS if pq != (0, 0)]
@@ -84,11 +84,11 @@ def _make_lanes_c_fn_t(
     pairs = [(a, b) for a in range(n_ch) for b in range(a + 1, n_ch)]
     o_bbox = 2
     o_rmax = 2 + (2 if with_moments else 0)
-    need_rmax = with_zernike or with_radial
+    need_rmax = with_zernike or (with_radial and not cp_rw)
     o_mean = o_rmax + (1 if need_rmax else 0)
     o_emean = o_mean + n_ch
 
-    def lanes_c_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, vr_c):
+    def lanes_c_fn_t(lab_row, g, consts, in_c, y_c, x_c, b_c, vr_c, *rest):
         # lane-major twin of lanes_c_fn: g is (K, TILE), vr_c (C, TILE);
         # consts = (zernike radial coeffs (30, 10),) ride as kernel
         # inputs (Pallas can't capture traced constants)
@@ -146,21 +146,28 @@ def _make_lanes_c_fn_t(
             ec = (vr_c - g[o_emean : o_emean + n_ch]) * b_c
             rows.append(ec * ec)
         if with_radial:
-            ring_c = jnp.clip(
-                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
-            )
+            if cp_rw:
+                # kernels/radial.cp_ring_wedge packed code ring*8+wedge
+                # (8*n_rings = excluded: outside, race lost, unreached)
+                rw_c = rest[0]
+                ring_c = (rw_c * jnp.float32(0.125)).astype(jnp.int32)
+                wedge_c = rw_c.astype(jnp.int32) - 8 * ring_c
+            else:
+                ring_c = jnp.clip(
+                    (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
+                )
+                # RadialCV octant wedges (measureobjectintensitydistribution:
+                # index = (i > ic) + 2*(j > jc) + 4*(|di| > |dj|))
+                wedge_c = (
+                    (dy_c > 0).astype(jnp.int32)
+                    + 2 * (dx_c > 0).astype(jnp.int32)
+                    + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
+                )
             v_c = vr_c * in_c
             for r in range(n_rings):
                 mask = (ring_c == r).astype(jnp.float32)
                 rows.append((in_c * mask)[None])
                 rows.append(v_c * mask)
-            # RadialCV octant wedges (CP measureobjectintensitydistribution:
-            # index = (i > ic) + 2*(j > jc) + 4*(|di| > |dj|))
-            wedge_c = (
-                (dy_c > 0).astype(jnp.int32)
-                + 2 * (dx_c > 0).astype(jnp.int32)
-                + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
-            )
             for r in range(n_rings):
                 rm = ring_c == r
                 for w8 in range(8):
@@ -279,6 +286,7 @@ def fused_object_features(
     with_zernike: bool = True,
     with_edge: bool = True,
     with_radial: bool = True,
+    ring_wedge: jax.Array | None = None,
 ):
     """(H, W, C) image + (H, W) labels -> dict of family result trees:
 
@@ -290,6 +298,11 @@ def fused_object_features(
     ``corr``      {(a, b): (corr, slope)}
     ``edge``      multichannel.edge_intensity_multichannel [with_edge]
     ``radial``    multichannel.radial_distribution dict    [with_radial]
+
+    ``ring_wedge``: optional (H, W) int32 packed CP ring/wedge code from
+    `kernels/radial.cp_ring_wedge` (ring*8+wedge; 8*n_rings = excluded).
+    When given, the radial/RadialCV lanes bin by CP's normalized
+    edge+center distance instead of centroid-distance/rmax.
     """
     h, w, n_ch = image.shape
     flat = labels.reshape(-1).astype(jnp.int32)
@@ -464,12 +477,13 @@ def fused_object_features(
 
     # per-label tables the C2 lanes need, gathered inside the scan by
     # reusing its label one-hot (see _lane_scan ``tables``); column map:
+    cp_rw = ring_wedge is not None
     t_cols = [cy[:, None], cx[:, None]]
     o_bbox = 2
     if with_moments:
         t_cols += [ymin_z[:, None], xmin_z[:, None]]
     o_rmax = 2 + (2 if with_moments else 0)
-    need_rmax = with_zernike or with_radial
+    need_rmax = with_zernike or (with_radial and not cp_rw)
     if need_rmax:
         t_cols.append(rmax[:, None])
     o_mean = o_rmax + (1 if need_rmax else 0)
@@ -479,7 +493,7 @@ def fused_object_features(
         t_cols.append(edge_mean)
     tables_c = jnp.concatenate(t_cols, axis=1)
 
-    def lanes_c_fn(seg_c, g, in_c, y_c, x_c, b_c, vr_c):
+    def lanes_c_fn(seg_c, g, in_c, y_c, x_c, b_c, vr_c, *rest):
         dy_c = y_c - g[:, 0]
         dx_c = x_c - g[:, 1]
         yc = dy_c * in_c
@@ -520,19 +534,24 @@ def fused_object_features(
             ec = (vr_c - g[:, o_emean : o_emean + n_ch]) * b_c[:, None]
             cols.append(ec * ec)
         if with_radial:
-            ring_c = jnp.clip(
-                (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
-            )
+            if cp_rw:
+                rw_c = rest[0]
+                ring_c = (rw_c * jnp.float32(0.125)).astype(jnp.int32)
+                wedge_c = rw_c.astype(jnp.int32) - 8 * ring_c
+            else:
+                ring_c = jnp.clip(
+                    (dist_c * inv_rmax * n_rings).astype(jnp.int32), 0, n_rings - 1
+                )
+                wedge_c = (
+                    (dy_c > 0).astype(jnp.int32)
+                    + 2 * (dx_c > 0).astype(jnp.int32)
+                    + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
+                )
             v_c = vr_c * in_c[:, None]
             for r in range(n_rings):
                 mask = (ring_c == r).astype(jnp.float32)
                 cols.append(in_c * mask)
                 cols.append(v_c * mask[:, None])
-            wedge_c = (
-                (dy_c > 0).astype(jnp.int32)
-                + 2 * (dx_c > 0).astype(jnp.int32)
-                + 4 * (jnp.abs(dy_c) > jnp.abs(dx_c)).astype(jnp.int32)
-            )
             for r in range(n_rings):
                 rm = ring_c == r
                 for w8 in range(8):
@@ -544,12 +563,16 @@ def fused_object_features(
     lanes_c_fn_t = _make_lanes_c_fn_t(
         with_moments, with_zernike, with_edge, with_radial, n_ch,
         n_rings if with_radial else 0,
+        cp_rw,
     )
 
     n_lanes_c = sum(n for _, n in spec_c)
     consts_c = (coeffs_t.T,) if with_zernike else ()
+    base_c_arrays = [inside, yf, xf, boundary, vr]
+    if cp_rw:
+        base_c_arrays.append(ring_wedge.reshape(-1).astype(jnp.float32))
     sums_c = _lane_scan(
-        seg, [inside, yf, xf, boundary, vr], lanes_c_fn, n_lanes_c, max_cells,
+        seg, base_c_arrays, lanes_c_fn, n_lanes_c, max_cells,
         tables=tables_c, lane_fn_t=lanes_c_fn_t, consts=consts_c,
     )
     parts = {}
@@ -566,7 +589,12 @@ def fused_object_features(
         ring_int = ring_sums[..., 1:]
         total_int = jnp.maximum(jnp.sum(ring_int, axis=1, keepdims=True), 1e-12)
         frac_at_d = ring_int / total_int
-        pix_frac = ring_cnt / jnp.maximum(cnt[:, None], 1.0)
+        # denominator = pixels in ANY ring (CP sums over the good mask —
+        # identical to Area for centroid binning, excludes race-lost /
+        # unreached pixels for CP binning)
+        pix_frac = ring_cnt / jnp.maximum(
+            jnp.sum(ring_cnt, axis=1, keepdims=True), 1.0
+        )
         mean_frac = frac_at_d / jnp.maximum(pix_frac[:, :, None], 1e-12)
         zr = zero[:, None, None]
         radial_out = {

@@ -65,6 +65,7 @@ __all__ = [
     "seg_take_t_pallas",
     "seg_sums_pallas",
     "seg_lane_sums_pallas",
+    "pick2_pallas",
 ]
 
 _ROWS = 8  # sublane rows per grid step (Mosaic block alignment)
@@ -708,3 +709,121 @@ def edt_sweep_pallas(
     d2p = jnp.pad(d2_init, ((0, h_pad - h), (0, 0)), constant_values=big2)
     out = _edt_sweep_fn(max_radius, w, w_pad)(v2p, d2p)
     return out[:h]
+
+
+# ---------------------------------------------------------------------------
+# two-level per-pixel table pick (colocalization dense-rank images)
+
+
+@functools.lru_cache(maxsize=None)
+def _pick2_fn(n_ch: int, k_tab: int, tile: int):
+    kk = 256 * k_tab
+
+    def kernel(cd_ref, t_ref, out_ref):
+        for r in range(_ROWS):
+            sl = slice(r * tile, (r + 1) * tile)
+            for c in range(n_ch):
+                hi_row = cd_ref[0, c : c + 1, sl]          # (1, TILE)
+                lo_row = cd_ref[0, n_ch + c : n_ch + c + 1, sl]
+                hi_oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (256, tile), 0)
+                    == hi_row
+                ).astype(jnp.int8)
+                lo_oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (256, tile), 0)
+                    == lo_row
+                ).astype(jnp.int32)
+                # ONE s8 dot picks BOTH byte planes of every table's row
+                # hi: (2*kk, 256) @ (256, TILE) -> s32, offset by -128
+                planes = jax.lax.dot_general(
+                    t_ref[0, c],
+                    hi_oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                val = 256 * (planes[:kk] + 128) + (planes[kk:] + 128)
+                for k in range(k_tab):
+                    rows_k = val[k * 256 : (k + 1) * 256]  # (256, TILE)
+                    picked = jnp.sum(rows_k * lo_oh, axis=0, keepdims=True)
+                    out_ref[0, c * k_tab + k : c * k_tab + k + 1, sl] = (
+                        picked.astype(jnp.float32)
+                    )
+
+    def batched(cd3, t4):
+        bsz = cd3.shape[0]
+        n_steps = cd3.shape[2] // (_ROWS * tile)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, n_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 2 * n_ch, _ROWS * tile), lambda b, i: (b, 0, i)
+                ),
+                pl.BlockSpec(
+                    (1, n_ch, 2 * kk, 256), lambda b, i: (b, 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_ch * k_tab, _ROWS * tile), lambda b, i: (b, 0, i)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, n_ch * k_tab, cd3.shape[2]), jnp.float32
+            ),
+            interpret=_interpret(),
+        )(cd3, t4)
+
+    @custom_batching.custom_vmap
+    def f(cd2, t3):
+        return batched(cd2[None], t3[None])[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, cd2, t3):
+        cd_b, t_b = in_batched
+        if not cd_b:
+            cd2 = jnp.broadcast_to(cd2, (axis_size,) + cd2.shape)
+        if not t_b:
+            t3 = jnp.broadcast_to(t3, (axis_size,) + t3.shape)
+        return batched(cd2, t3), True
+
+    return f
+
+
+def pick2_pallas(
+    hi: jax.Array, lo: jax.Array, tables: jax.Array
+) -> jax.Array:
+    """Per-pixel 2-level table pick: out[i, c, k] = tables[c, hi[i,c],
+    lo[i,c], k] for 16-bit-integer-valued f32 tables (dense ranks).
+
+    The XLA scan form of this lookup measured 233 ms/site at the 5-ch
+    op point — its int8 one-hot dots run ~5% of the s8 MXU rate
+    (emulated; the same dots inside Mosaic hit the int8 roofline, see
+    the GLCM counting note in BENCH.md). Here each pixel tile builds
+    its hi one-hot in VMEM and ONE stacked s8 dot gathers both byte
+    planes of all K tables' rows ((2*256K, 256) @ (256, TILE) -> s32);
+    the lo pick is a VPU masked sublane reduction. Tables are split
+    t = 256*t_hi + t_lo with both planes shifted to int8 range — exact,
+    and the one-hot row sums to 1 so the +128 offsets restore in closed
+    form.
+    """
+    n, n_ch = hi.shape
+    k_tab = tables.shape[-1]
+    tile = int(os.environ.get("SAGUARO_PICK_TILE", "1024"))
+    t_hi = jnp.floor(tables / 256.0)
+    t_lo = tables - t_hi * 256.0
+
+    def arrange(t):
+        # (C, 256_hi, 256_lo, K) -> rows k*256+lo, cols hi: (C, kk, 256)
+        return (
+            (t - 128.0)
+            .astype(jnp.int8)
+            .transpose(0, 3, 2, 1)
+            .reshape(n_ch, 256 * k_tab, 256)
+        )
+
+    t2 = jnp.concatenate([arrange(t_hi), arrange(t_lo)], axis=1)
+    cd = jnp.concatenate([hi.T, lo.T], axis=0).astype(jnp.int32)
+    chunk = _ROWS * tile
+    n_pad = _pad_to(n, chunk)
+    cd = jnp.pad(cd, ((0, 0), (0, n_pad - n)))
+    out = _pick2_fn(n_ch, k_tab, tile)(cd, t2)  # (C*K, N')
+    return out[:, :n].T.reshape(n, n_ch, k_tab)

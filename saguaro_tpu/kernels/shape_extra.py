@@ -121,7 +121,8 @@ def _label_edt(labels: jax.Array, max_radius: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("max_cells", "max_radius"))
 def radius_features(
-    labels: jax.Array, max_cells: int = 1024, max_radius: int = 48
+    labels: jax.Array, max_cells: int = 1024, max_radius: int = 48,
+    d2_img: jax.Array | None = None,
 ):
     """CP AreaShape MeanRadius / MedianRadius / MaximumRadius — exact.
 
@@ -142,7 +143,8 @@ def radius_features(
     )
 
     lab = labels.astype(jnp.int32)
-    d2_img = _label_edt_sq(lab, max_radius)
+    if d2_img is None:
+        d2_img = _label_edt_sq(lab, max_radius)
     flat = lab.reshape(-1)
     seg = jnp.where((flat > 0) & (flat < max_cells), flat, 0)
     inside_m = flat > 0

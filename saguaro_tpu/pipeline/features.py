@@ -99,6 +99,12 @@ class FeatureConfig:
     costes_scale: int = 255            # CP linear_costes threshold grid
     costes_fast: bool = True           # CP "Fast" stepping vs "Accurate"
     radial_rings: int = 4
+    # MeasureObjectIntensityDistribution binning: 'cp' = CP 4.2.8's
+    # normalized center+edge distance (EDT-argmax centers, centrosome
+    # propagate race at regularization radial_lam — kernels/radial.py);
+    # 'centroid' = centroid-distance/rmax (cheaper, pre-r4 behavior)
+    radial_binning: str = "cp"
+    radial_lam: float = 1.0
     neighbor_distance: int = 5
     # EDT horizontal-sweep bound: radii are exact while the nearest
     # outside pixel is within this many columns. 64 covers objects up to
@@ -126,6 +132,10 @@ class FeatureConfig:
                     f"{name}={v} must be a reciprocal integer in (0, 1]"
                     " (CP's granularity subsample is an exact strided gather)"
                 )
+        if self.radial_binning not in ("cp", "centroid"):
+            raise ValueError(
+                f"radial_binning={self.radial_binning!r}: 'cp' or 'centroid'"
+            )
 
 
 @jax.jit
@@ -212,6 +222,34 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
 
     for obj_name, labels in objects.items():
         feats: dict[str, jax.Array] = {}
+        # the label-aware EDT is shared by AreaShape radii AND (in 'cp'
+        # radial binning) the normalized-distance ring geometry; the
+        # radii's exact MaximumRadius doubles as the center search's
+        # per-object d2 maximum (one scatter fewer per object set)
+        d2_img = None
+        ring_wedge = None
+        radius = None
+        if cfg.measure_radius or (
+            cfg.measure_radial and cfg.radial_binning == "cp"
+        ):
+            from saguaro_tpu.kernels.shape_extra import _label_edt_sq
+
+            d2_img = _label_edt_sq(labels.astype(jnp.int32), cfg.max_radius)
+        if cfg.measure_radius:
+            from saguaro_tpu.kernels.shape_extra import radius_features
+
+            radius = radius_features(
+                labels, cfg.max_cells, cfg.max_radius, d2_img=d2_img
+            )
+        if cfg.measure_radial and cfg.radial_binning == "cp":
+            from saguaro_tpu.kernels.radial import cp_ring_wedge
+
+            rmax = radius["MaximumRadius"] if radius is not None else None
+            ring_wedge = cp_ring_wedge(
+                labels, cfg.max_cells, cfg.radial_rings, cfg.max_radius,
+                lam=cfg.radial_lam, d2_img=d2_img,
+                max_d2=None if rmax is None else rmax * rmax,
+            )
         # every payload-sum family (shape, moments, Zernike, intensity,
         # correlation, edge, radial) in ONE fixed pass structure — pass
         # count over the pixel array, not lane count, is the site budget
@@ -226,6 +264,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             with_zernike=cfg.measure_zernike,
             with_edge=cfg.measure_edge,
             with_radial=cfg.measure_radial,
+            ring_wedge=ring_wedge,
         )
         shape = fused["shape"]
         for k, v in shape.items():
@@ -236,9 +275,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
             shape["Area"] > 0, euler_numbers(labels, cfg.max_cells), 0.0
         )
         if cfg.measure_radius:
-            from saguaro_tpu.kernels.shape_extra import radius_features
-
-            for k, v in radius_features(labels, cfg.max_cells, cfg.max_radius).items():
+            for k, v in radius.items():
                 feats[f"AreaShape_{k}"] = v
         if cfg.measure_convex:
             from saguaro_tpu.kernels.shape_extra import convex_features

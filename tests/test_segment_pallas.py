@@ -229,3 +229,51 @@ class TestEdtSweep:
         monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
         _label_edt_sq.clear_cache()
         np.testing.assert_array_equal(got, ref)
+
+
+class TestPick2:
+    """pick2_pallas (interpreter mode on CPU) vs direct numpy indexing."""
+
+    def test_matches_numpy_pick(self):
+        from saguaro_tpu.kernels.segment_pallas import pick2_pallas
+
+        rng = np.random.default_rng(11)
+        n, n_ch, k_tab = 5000, 3, 2
+        hi = rng.integers(0, 256, (n, n_ch)).astype(np.int32)
+        lo = rng.integers(0, 256, (n, n_ch)).astype(np.int32)
+        tables = rng.integers(0, 65536, (n_ch, 256, 256, k_tab)).astype(
+            np.float32
+        )
+        got = np.asarray(
+            pick2_pallas(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(tables))
+        )
+        want = np.stack(
+            [
+                np.stack(
+                    [tables[c, hi[:, c], lo[:, c], k] for k in range(k_tab)],
+                    axis=-1,
+                )
+                for c in range(n_ch)
+            ],
+            axis=1,
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_vmapped_batch(self):
+        from saguaro_tpu.kernels.segment_pallas import pick2_pallas
+
+        rng = np.random.default_rng(12)
+        n, n_ch, k_tab, b = 2048, 2, 3, 3
+        hi = jnp.asarray(rng.integers(0, 256, (b, n, n_ch)).astype(np.int32))
+        lo = jnp.asarray(rng.integers(0, 256, (b, n, n_ch)).astype(np.int32))
+        tables = jnp.asarray(
+            rng.integers(0, 65536, (b, n_ch, 256, 256, k_tab)).astype(
+                np.float32
+            )
+        )
+        got = jax.vmap(pick2_pallas)(hi, lo, tables)
+        for i in range(b):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]),
+                np.asarray(pick2_pallas(hi[i], lo[i], tables[i])),
+            )
