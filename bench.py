@@ -255,17 +255,42 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    mark("timing ship")
-    ship_s = timed(run_ship, iters=5) / b
-    mark("timing segment")
-    seg_s = timed(run_segment) / b
-    mark("timing embed")
-    embed_s = timed(run_embed) / b
-    mark("timing measure")
-    feat_s = timed(run_measure) / (b * MEASURE_K)
+    def time_stages():
+        ship = timed(run_ship, iters=5) / b
+        seg = timed(run_segment) / b
+        emb = timed(run_embed) / b
+        feat = timed(run_measure) / (b * MEASURE_K)
+        return ship, seg, emb, feat
+
+    # Congestion-proofing (VERDICT r4 item #4): one degraded relay
+    # half-hour defeated best-of-3 per stage (driver recorded 3.36 while
+    # the same code measured 5.28 — ship/measure, the transfer-dominated
+    # stages, inflated ~2.5x). Repeat the WHOLE warm stage loop
+    # BENCH_REPEATS times (default 2; compiles are already warm after
+    # pass 1, so extra passes cost ~1 min) and score the best pass;
+    # min+median over the passes goes to stderr for the BENCH.md ledger.
+    n_rep = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    passes = []
+    for r in range(n_rep):
+        mark(f"stage-timing pass {r + 1}/{n_rep} (ship/segment/embed/measure)")
+        p = time_stages()
+        passes.append(p)
+        print(
+            f"pass {r + 1}: ship={p[0]:.3f} segment={p[1]:.3f} "
+            f"embed={p[2]:.3f} measure={p[3]:.3f} site={sum(p):.3f}",
+            file=sys.stderr,
+            flush=True,
+        )
     mark("done")
 
-    site_s = ship_s + seg_s + embed_s + feat_s
+    sums = [sum(p) for p in passes]
+    ship_s, seg_s, embed_s, feat_s = passes[int(np.argmin(sums))]
+    site_s = min(sums)
+    print(
+        f"passes: min={min(sums):.3f} median={float(np.median(sums)):.3f} "
+        f"max={max(sums):.3f} s/site over {n_rep}",
+        file=sys.stderr,
+    )
 
     if os.environ.get("BENCH_PIPELINE", "") == "1":
         # Steady-state PIPELINED batches — the production drivers' shape:

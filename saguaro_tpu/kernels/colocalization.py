@@ -57,6 +57,7 @@ import jax.numpy as jnp
 __all__ = [
     "dense_rank_images",
     "costes_thresholds",
+    "costes_fine_refine",
     "coloc_threshold_sums",
     "colocalization_features",
     "colocalization_features_multiset",
@@ -200,6 +201,7 @@ def costes_thresholds(
     scale: int = 255,
     fast: bool = True,
     joint: dict[tuple[int, int], jax.Array] | None = None,
+    return_bracket: bool = False,
 ):
     """CP 4.2.8 linear_costes for every channel pair at once.
 
@@ -209,6 +211,12 @@ def costes_thresholds(
     CP's descent; region counts/moments come from per-pair joint count
     tables, so the Pearson stopping criterion is exact for values on
     the grid and bin-floor-approximated otherwise.
+
+    ``return_bracket=True`` additionally returns ``(regs (P, 2),
+    thr_k (P,), prev_k (P,))`` — the regression coefficients, the
+    stopping grid index, and the previously VISITED grid index (where
+    the descent still saw a positive Pearson). ``[thr_k, prev_k]``
+    brackets the true stopping point for ``costes_fine_refine``.
     """
     from saguaro_tpu.kernels.onehot_reduce import onehot_counts
 
@@ -313,13 +321,15 @@ def costes_thresholds(
 
         k = jax.lax.while_loop(skip_cond, lambda k: k - 1.0, k_init)
 
-        # main loop over (k, thr_k, done); thr assigned at loop TOP
+        # main loop over (k, thr_k, prev_k, done); thr assigned at loop
+        # TOP; prev_k trails one visited step behind (bracket for the
+        # fine refinement)
         def cond(st):
-            k, thr_k, done = st
+            k, thr_k, prev_k, done = st
             return (k > 1.0) & ~done
 
         def body(st):
-            k, _, done = st
+            k, thr_prev, _, done = st
             thr_f = k * i_step
             thr_s = a * thr_f + b
             ia = jnp.clip(k, 0, s_codes).astype(jnp.int32)
@@ -336,14 +346,200 @@ def costes_thresholds(
                               jnp.where(cost_reg > 0.25, 2.0, 1.0)),
                 ),
             )
-            return (k - step, k, stop)
+            return (k - step, k, thr_prev, stop)
 
-        k_fin, thr_k, _ = jax.lax.while_loop(cond, body, (k, k_init, False))
+        k_fin, thr_k, prev_k, _ = jax.lax.while_loop(
+            cond, body, (k, k_init, k_init, False)
+        )
         # if the main loop never ran, CP returns the pre-skip start i
         thr_f = thr_k * i_step
-        return thr_f, a * thr_f + b
+        return thr_f, a * thr_f + b, thr_k, prev_k
 
-    thr_f, thr_s = jax.vmap(one_pair)(sufs, regs, mx, k0)
+    thr_f, thr_s, thr_k, prev_k = jax.vmap(one_pair)(sufs, regs, mx, k0)
+    if return_bracket:
+        return thr_f, thr_s, (regs, thr_k, prev_k)
+    return thr_f, thr_s
+
+
+def costes_fine_refine(
+    values: jax.Array,
+    inside: jax.Array,
+    pairs: tuple[tuple[int, int], ...],
+    regs: jax.Array,
+    prev_k: jax.Array,
+    scale: int = 255,
+    fine: int = 65535,
+    fast: bool = True,
+):
+    """Second-level Costes descent at the data's own resolution.
+
+    CP's linear_costes runs at ``scale_max`` = the image bit depth
+    (1/65535 steps for uint16), which a 65536^2 joint table cannot
+    realize on-device. Instead: the coarse pass brackets the stopping
+    point between its last two visited grid cells ([thr_k, prev_k],
+    ``return_bracket``), and this pass evaluates the EXACT Pearson
+    stopping statistic at every fine candidate inside the bracket.
+
+    TPU shape: for descending fine candidates t, the above-threshold
+    rectangle {v_a >= ta_t} & {v_b >= tb_t} only ever GROWS (tb_t moves
+    monotonically with ta_t since tb = slope*ta + b), so each pixel
+    ENTERS the rectangle at one candidate index (and EXITS at one, when
+    slope < 0). Rectangle moments per candidate are therefore cumulative
+    sums over a per-candidate-index entry/exit histogram — ONE
+    ``segment_matmul_sums`` pass over the pixels per pair (labels =
+    entry/exit index, 6 moment lanes), no 2D fine table. CP's stepping
+    rules then walk the precomputed (M,) Pearson vector.
+
+    Exactness: thresholds land on CP's 1/fine grid; the stopping
+    statistic is exact for values on the grid (uint16 data). Assumes the
+    Pearson sign does not dip negative and recover INSIDE one coarse
+    step — the same class of assumption CP's own 'Fast' mode makes when
+    it steps by 2/5/10.
+
+    values: (N, C) normalized to [0, 1]; regs/prev_k from the coarse
+    pass. Returns (thr_f (P,), thr_s (P,)) in normalized units.
+    """
+    from saguaro_tpu.kernels.onehot_reduce import segment_matmul_sums
+
+    assert fine % scale == 0, (fine, scale)
+    r_ratio = fine // scale
+    m_cand = ((10 if fast else 1) + 1) * r_ratio + 2  # bracket + skip margin
+    i_f = 1.0 / fine
+    n_px = values.shape[0]
+    insf = inside.astype(jnp.float32)
+    big = jnp.float32(3.4e38)
+
+    # fine integer codes: grid data (v = k/fine) rounds back exactly
+    codes_f = jnp.clip(
+        jnp.round(values * fine), 0, fine
+    ).astype(jnp.int32)
+    vals_f = codes_f.astype(jnp.float32) * i_f
+
+    # Pearson is shift-invariant: CENTER the values by their inside
+    # means before building moments — uncentered f32 products cancel
+    # catastrophically near the costReg ~ 0 crossing (measured: the
+    # stopping index wandered ~20 fine steps; centered it is exact to a
+    # couple of steps of the f64 oracle)
+    n_tot = jnp.sum(insf)
+    mu = jnp.sum(vals_f * insf[:, None], axis=0) / jnp.maximum(n_tot, 1.0)
+    vals_c = vals_f - mu[None, :]
+    vin = vals_c * insf[:, None]
+    ch_sum = jnp.sum(vin, axis=0)                         # (C,) ~ 0
+    gram = jnp.dot(
+        vin.T, vals_c, precision=jax.lax.Precision.HIGHEST
+    )                                                     # (C, C) centered products
+
+    a_idx = jnp.asarray([a for a, _ in pairs])
+    b_idx = jnp.asarray([b for _, b in pairs])
+
+    def one_pair(carry, p):
+        slope, icept = regs[p, 0], regs[p, 1]
+        ca_ch, cb_ch = a_idx[p], b_idx[p]
+        code_a = jnp.take(codes_f, ca_ch, axis=1)
+        code_b = jnp.take(codes_f, cb_ch, axis=1)
+        va = jnp.take(vals_c, ca_ch, axis=1)   # centered (moments only)
+        vb = jnp.take(vals_c, cb_ch, axis=1)
+        fa_max = jnp.max(
+            jnp.where(inside, jnp.take(vals_f, ca_ch, axis=1), -big)
+        )
+        fb_max = jnp.max(
+            jnp.where(inside, jnp.take(vals_f, cb_ch, axis=1), -big)
+        )
+        k0f = jnp.floor(jnp.maximum(fa_max, fb_max) / i_f) + 1.0
+
+        # CP's fine skip loop: while i > fa_max and slope*i+b > fb_max
+        def skip_cond(k):
+            i = k * i_f
+            return (i > fa_max) & (slope * i + icept > fb_max)
+
+        k_skip = jax.lax.while_loop(skip_cond, lambda k: k - 1.0, k0f)
+        k_hi = jnp.minimum(prev_k[p] * r_ratio, k_skip)
+
+        t_idx = jnp.arange(m_cand, dtype=jnp.float32)
+        kf = k_hi - t_idx                                  # descending
+        jb_t = jnp.clip(
+            jnp.ceil(slope * kf + icept * fine), 0, fine + 1
+        )                                                  # (M,) f32
+
+        # entry candidate per pixel: a-cond code_a >= kf(t) <=> t >= ca
+        ca = jnp.clip(k_hi - code_a.astype(jnp.float32), 0.0, float(m_cand))
+        pos = slope >= 0
+        # slope>=0: jb_t non-increasing -> b-cond true for t >= cb
+        cb_pos = m_cand - jnp.searchsorted(
+            jb_t[::-1], code_b.astype(jnp.float32), side="right"
+        ).astype(jnp.float32)
+        # slope<0: jb_t non-decreasing -> b-cond true for t < exit
+        exit_neg = jnp.searchsorted(
+            jb_t, code_b.astype(jnp.float32), side="right"
+        ).astype(jnp.float32)
+        enter = jnp.where(pos, jnp.maximum(ca, cb_pos), ca)
+        exit_ = jnp.where(pos, float(m_cand), exit_neg)
+        dead = (~inside) | (exit_ <= enter)
+        enter = jnp.where(dead, float(m_cand), enter).astype(jnp.int32)
+        exit_ = jnp.where(dead | (exit_ >= m_cand), float(m_cand), exit_)
+        exit_ = exit_.astype(jnp.int32)
+
+        lanes = jnp.stack(
+            [jnp.ones_like(va), va, vb, va * va, vb * vb, va * vb], axis=1
+        )
+        labels2 = jnp.concatenate([enter, exit_])
+        vals2 = jnp.concatenate([lanes, -lanes])
+        tbl = segment_matmul_sums(labels2, vals2, m_cand + 1)  # (M+1, 6)
+        rect = jnp.cumsum(tbl[:m_cand], axis=0)               # (M, 6)
+
+        tot = jnp.stack(
+            [
+                n_tot,
+                ch_sum[ca_ch],
+                ch_sum[cb_ch],
+                gram[ca_ch, ca_ch],
+                gram[cb_ch, cb_ch],
+                gram[ca_ch, cb_ch],
+            ]
+        )
+        below = tot[None, :] - rect
+        n_b, sf, ss, sff, sss, sfs = (below[:, i] for i in range(6))
+        num = n_b * sfs - sf * ss
+        den = jnp.sqrt(
+            jnp.maximum(n_b * sff - sf * sf, 0.0)
+            * jnp.maximum(n_b * sss - ss * ss, 0.0)
+        )
+        pear = jnp.where(den > 0, num / den, jnp.nan)          # (M,)
+
+        # CP's walk over the candidates (thr assigned at loop top)
+        def cond(st):
+            t, thr_t, done = st
+            return (k_hi - t > 1.0) & ~done & (t < m_cand)
+
+        def body(st):
+            t, _, done = st
+            ti = t.astype(jnp.int32)
+            cost = pear[ti]
+            nb = n_b[ti]
+            stop = (cost <= 0) | (nb < 2.0)
+            k_here = k_hi - t
+            step = jnp.where(
+                (~jnp.asarray(fast)) | (k_here < 10.0),
+                1.0,
+                jnp.where(
+                    cost > 0.45, 10.0,
+                    jnp.where(cost > 0.35, 5.0,
+                              jnp.where(cost > 0.25, 2.0, 1.0)),
+                ),
+            )
+            return (t + step, t, stop)
+
+        t_end, t_thr, _ = jax.lax.while_loop(
+            cond, body, (jnp.float32(0.0), jnp.float32(0.0), False)
+        )
+        # loop never ran (k_hi <= 1): CP keeps its pre-skip start
+        thr_k_fine = jnp.where(k_hi > 1.0, k_hi - t_thr, k0f)
+        thr_f = thr_k_fine * i_f
+        return carry, (thr_f, slope * thr_f + icept)
+
+    _, (thr_f, thr_s) = jax.lax.scan(
+        one_pair, 0, jnp.arange(len(pairs))
+    )
     return thr_f, thr_s
 
 
@@ -465,6 +661,7 @@ def colocalization_features_multiset(
     costes_fast: bool = True,
     integer_grid: bool = True,
     additive: tuple[str, str, str] | None = ("Cells", "Nuclei", "Cytoplasm"),
+    costes_fine_scale: int | None = None,
 ):
     """Thresholded colocalization statistics for SEVERAL object sets at
     once, sharing the per-pixel work:
@@ -555,10 +752,23 @@ def colocalization_features_multiset(
         inv_r = jnp.stack(
             [1.0 / jnp.maximum(jnp.maximum(nd[a], nd[b]), 1.0) for a, b in pairs]
         )
-        thr_f_n, thr_s_n = costes_thresholds(
-            vr / norm, inside_m, pairs, scale=costes_scale,
-            fast=costes_fast, joint=joint_by[nm],
-        )
+        if costes_fine_scale is not None:
+            # two-level: coarse bracket, then the exact fine descent at
+            # the data's own resolution (CP runs linear_costes at
+            # scale_max = bit depth — 1/65535 for uint16)
+            _, _, (c_regs, _c_thr, c_prev) = costes_thresholds(
+                vr / norm, inside_m, pairs, scale=costes_scale,
+                fast=costes_fast, joint=joint_by[nm], return_bracket=True,
+            )
+            thr_f_n, thr_s_n = costes_fine_refine(
+                vr / norm, inside_m, pairs, c_regs, c_prev,
+                scale=costes_scale, fine=costes_fine_scale, fast=costes_fast,
+            )
+        else:
+            thr_f_n, thr_s_n = costes_thresholds(
+                vr / norm, inside_m, pairs, scale=costes_scale,
+                fast=costes_fast, joint=joint_by[nm],
+            )
         thr_f = thr_f_n * norm
         thr_s = thr_s_n * norm
         vmax = vmax_by_set[nm]
@@ -602,6 +812,7 @@ def colocalization_features(
     costes_scale: int = 255,
     costes_fast: bool = True,
     integer_grid: bool = True,
+    costes_fine_scale: int | None = None,
 ):
     """All thresholded colocalization statistics for ONE object set.
 
@@ -616,4 +827,5 @@ def colocalization_features(
         image, {"obj": labels}, {"obj": vmax}, max_cells,
         thr_pct=thr_pct, costes_scale=costes_scale, costes_fast=costes_fast,
         integer_grid=integer_grid, additive=None,
+        costes_fine_scale=costes_fine_scale,
     )["obj"]

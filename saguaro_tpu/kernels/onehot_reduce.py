@@ -243,7 +243,6 @@ def _onehot_counts_impl(labels, code_arr, max_cells, sizes, chunk):
     return g
 
 
-@partial(jax.jit, static_argnames=("max_cells", "chunk"))
 def segment_matmul_sums(
     labels: jax.Array,
     values: jax.Array,
@@ -259,12 +258,24 @@ def segment_matmul_sums(
 
     On a real TPU this dispatches to the Pallas VMEM-resident kernel
     (``segment_pallas.seg_sums_pallas`` — same hi/lo split and scan
-    order; equality-tested in interpreter mode).
+    order; equality-tested in interpreter mode). The dispatch branch
+    lives OUTSIDE the jit so the pjit cache never keys a mode-dependent
+    trace on mode-blind statics.
     """
     from saguaro_tpu.kernels.segment_pallas import seg_sums_pallas, use_pallas
 
     if use_pallas():
         return seg_sums_pallas(labels, values, max_cells)
+    return _segment_matmul_sums_xla(labels, values, max_cells, chunk)
+
+
+@partial(jax.jit, static_argnames=("max_cells", "chunk"))
+def _segment_matmul_sums_xla(
+    labels: jax.Array,
+    values: jax.Array,
+    max_cells: int,
+    chunk: int = 32768,
+) -> jax.Array:
     n, k = values.shape
     n_pad = (-n) % chunk
     lab_f = jnp.pad(labels.astype(jnp.int32), (0, n_pad))

@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 
 __all__ = [
     "use_pallas",
+    "dispatch_override",
     "seg_counts_pallas",
     "seg_take_t_pallas",
     "seg_sums_pallas",
@@ -71,15 +72,47 @@ __all__ = [
 _ROWS = 8  # sublane rows per grid step (Mosaic block alignment)
 
 
+# Trace-scoped dispatch pin. The env vars are read at TRACE time deep
+# inside jitted programs, but no jit/lru cache key included them — once
+# a program was traced under one mode, a later same-shape call under the
+# other mode collided on the cached entry (jax 0.9 lifts closure consts
+# into executable parameters, so the collision surfaced as "Execution
+# supplied 2 buffers but compiled program expected 5"). Entry points that
+# jit dispatch-sensitive programs resolve the mode ONCE into a static
+# cache key and pin every nested use_pallas() read with
+# ``dispatch_override(mode)`` for the duration of the trace.
+_DISPATCH_OVERRIDE: list = []
+
+
+class dispatch_override:
+    """Pin ``use_pallas()`` to ``mode`` within the block (None = env)."""
+
+    def __init__(self, mode: bool | None):
+        self.mode = mode
+
+    def __enter__(self):
+        _DISPATCH_OVERRIDE.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _DISPATCH_OVERRIDE.pop()
+        return False
+
+
 def use_pallas() -> bool:
     """True when the default backend is a real TPU (Mosaic available).
 
     ``SAGUARO_NO_PALLAS=1`` forces the XLA scan path everywhere — the
     A/B and escape hatch for the ``onehot_reduce`` dispatch.
     ``SAGUARO_FORCE_PALLAS=1`` forces the Pallas path on CPU (interpreter
-    mode) so tests can pin Pallas-vs-XLA equality at the dispatch sites."""
+    mode) so tests can pin Pallas-vs-XLA equality at the dispatch sites.
+    A surrounding ``dispatch_override(mode)`` (set by the jit entry
+    points, which carry the mode in their static cache key) wins over
+    the environment."""
     import os
 
+    if _DISPATCH_OVERRIDE and _DISPATCH_OVERRIDE[-1] is not None:
+        return bool(_DISPATCH_OVERRIDE[-1])
     if os.environ.get("SAGUARO_NO_PALLAS"):
         return False
     if os.environ.get("SAGUARO_FORCE_PALLAS"):

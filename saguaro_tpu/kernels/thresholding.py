@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["global_threshold", "smooth_for_binarize"]
+__all__ = ["global_threshold", "adaptive_threshold", "smooth_for_binarize"]
 
 
 def _hist(data: jax.Array, valid: jax.Array, nbins: int):
@@ -179,6 +179,173 @@ def global_threshold(
         thr = jnp.expm1(thr)
     final = jnp.clip(thr * correction, lower_bound, upper_bound)
     return final, thr
+
+
+def _block_bounds(n: int, nblocks: int) -> list[int]:
+    """CP block boundaries: int(i * n/nblocks) for i in 0..nblocks —
+    float increment truncated per block (threshold.py adaptive grid)."""
+    inc = n / nblocks
+    return [int(i * inc) for i in range(nblocks)] + [n]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "window_size", "log_transform", "middle_foreground", "nbins",
+    ),
+)
+def adaptive_threshold(
+    image: jax.Array,
+    method: str = "otsu",
+    window_size: int = 50,
+    log_transform: bool = False,
+    middle_foreground: bool = True,
+    correction: float = 1.0,
+    lower_bound: float = 0.0,
+    upper_bound: float = 3.0e38,
+    li_tolerance: float = 0.5,
+    nbins: int = 256,
+):
+    """CP 4.2.8 Threshold module, adaptive scope (threshold_scope =
+    'Adaptive', cellprofiler/modules/threshold.py get_local_threshold):
+
+    * the image is split into a grid of ``image_size // window_size``
+      blocks per axis (float increment, int-truncated boundaries); fewer
+      than 2 blocks on either axis is a config error (CP: "Adaptive
+      window cannot exceed 50%% of an image dimension");
+    * the selected method runs per block exactly as the global scope
+      runs on the whole image, filling each block of the threshold map
+      with its block's value (CP 4 dropped centrosome's spline
+      interpolation — the map is block-constant);
+    * a degenerate block (constant values) takes that constant; an
+      empty block takes the global guide threshold;
+    * the per-pixel map is corrected then CLIPPED to
+      [0.7, 1.5] x (global guide threshold x correction) — the CP
+      bound that keeps local outliers near the global estimate — and
+      finally to [lower_bound, upper_bound].
+
+    Returns ``(final_map (H, W), guide_final scalar, orig_map (H, W))``;
+    CP's scalar Threshold_FinalThreshold/OrigThreshold measurements for
+    adaptive scope are the MEANS of the returned maps.
+
+    TPU shape: the per-block histograms ride ONE fused one-hot MXU
+    contraction (labels = static block ids — kernels/onehot_reduce), the
+    split-point searches are vmapped closed forms over blocks, and the
+    block map is a small-table row gather; no scatters, static shapes.
+    """
+    h, w = image.shape
+    nb_i, nb_j = h // window_size, w // window_size
+    if nb_i < 2 or nb_j < 2:
+        raise ValueError(
+            f"Adaptive window {window_size} cannot exceed 50% of an image"
+            f" dimension (image {h}x{w})"
+        )
+    bounds_i = _block_bounds(h, nb_i)
+    bounds_j = _block_bounds(w, nb_j)
+    nb = nb_i * nb_j
+
+    # global guide (same knobs, no correction/bounds yet — CP corrects
+    # and bounds the guide alongside the local values)
+    _, guide_orig = global_threshold(
+        image, method=method, log_transform=log_transform,
+        middle_foreground=middle_foreground, correction=1.0,
+        lower_bound=0.0, upper_bound=3.0e38, li_tolerance=li_tolerance,
+        nbins=nbins,
+    )
+
+    data = image.astype(jnp.float32)
+    valid = jnp.isfinite(data)
+    if log_transform:
+        data = jnp.log1p(jnp.maximum(data, 0.0))
+
+    # static (H, W) block-id map: searchsorted over static boundaries
+    import numpy as np
+
+    row_blk = np.searchsorted(np.asarray(bounds_i[1:-1]), np.arange(h), "right")
+    col_blk = np.searchsorted(np.asarray(bounds_j[1:-1]), np.arange(w), "right")
+    block_id = jnp.asarray(row_blk[:, None] * nb_j + col_blk[None, :])
+
+    big = jnp.float32(3.4e38)
+    validf = valid.astype(jnp.float32)
+    n_valid = jnp.zeros(nb).at[block_id.reshape(-1)].add(validf.reshape(-1))
+
+    use_blocks = method in ("otsu", "otsu3")
+    if use_blocks:
+        blk_bins = nbins if method == "otsu" else 128
+        # per-block min/max (min/max reductions stay scatters — CLAUDE.md)
+        vmin = (
+            jnp.full(nb, big)
+            .at[block_id.reshape(-1)]
+            .min(jnp.where(valid, data, big).reshape(-1))
+        )
+        vmax = (
+            jnp.full(nb, -big)
+            .at[block_id.reshape(-1)]
+            .max(jnp.where(valid, data, -big).reshape(-1))
+        )
+        span = jnp.maximum(vmax - vmin, 1e-12)
+        from saguaro_tpu.kernels.onehot_reduce import mxu_take, onehot_counts
+
+        per_px = mxu_take(
+            jnp.stack([vmin, span], axis=1), block_id.reshape(-1), nb
+        )
+        q = jnp.clip(
+            (data.reshape(-1) - per_px[:, 0]) / per_px[:, 1] * blk_bins,
+            0,
+            blk_bins - 1,
+        ).astype(jnp.int32)
+        (hist,) = onehot_counts(
+            block_id.reshape(-1), [(q, valid.reshape(-1), blk_bins)], nb
+        )
+        centers = (
+            (jnp.arange(blk_bins, dtype=jnp.float32)[None, :] + 0.5)
+            / blk_bins * span[:, None]
+            + vmin[:, None]
+        )
+        if method == "otsu":
+            thr_blocks = jax.vmap(_otsu_from_hist)(hist, centers)
+        else:
+            t_lo, t_hi = jax.vmap(_multiotsu3_from_hist)(hist, centers)
+            thr_blocks = t_lo if middle_foreground else t_hi
+        # constant block: skimage returns the constant value
+        thr_blocks = jnp.where(vmax - vmin <= 0, vmin, thr_blocks)
+    elif method == "li":
+        tol = li_tolerance
+        if log_transform:
+            tol = jnp.log1p(jnp.asarray(li_tolerance, jnp.float32)) * 0.5 + 1e-6
+        # pad blocks to a common shape and vmap the global Li iteration
+        bh = max(b - a for a, b in zip(bounds_i, bounds_i[1:]))
+        bw = max(b - a for a, b in zip(bounds_j, bounds_j[1:]))
+        blocks, bvalid = [], []
+        for i in range(nb_i):
+            i0, i1 = bounds_i[i], bounds_i[i + 1]
+            for j in range(nb_j):
+                j0, j1 = bounds_j[j], bounds_j[j + 1]
+                pad = ((0, bh - (i1 - i0)), (0, bw - (j1 - j0)))
+                blocks.append(jnp.pad(data[i0:i1, j0:j1], pad))
+                bvalid.append(
+                    jnp.pad(valid[i0:i1, j0:j1], pad, constant_values=False)
+                )
+        blocks = jnp.stack(blocks)
+        bvalid = jnp.stack(bvalid)
+        thr_blocks = jax.vmap(lambda d, v: _li_threshold(d, v, tol))(
+            blocks, bvalid
+        )
+    else:
+        raise ValueError(f"unknown threshold method {method!r}")
+
+    # empty block -> global guide (still in transformed space)
+    guide_t = jnp.log1p(jnp.maximum(guide_orig, 0.0)) if log_transform else guide_orig
+    thr_blocks = jnp.where(n_valid > 0, thr_blocks, guide_t)
+    if log_transform:
+        thr_blocks = jnp.expm1(thr_blocks)
+
+    orig_map = thr_blocks[block_id]  # small-table gather (nb rows)
+    guide_corr = guide_orig * correction
+    bounded = jnp.clip(orig_map * correction, 0.7 * guide_corr, 1.5 * guide_corr)
+    final_map = jnp.clip(bounded, lower_bound, upper_bound)
+    guide_final = jnp.clip(guide_corr, lower_bound, upper_bound)
+    return final_map, guide_final, orig_map
 
 
 @partial(jax.jit, static_argnames=("truncate",))

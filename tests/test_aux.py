@@ -174,3 +174,56 @@ class TestWeights:
             out["params"]["Conv_1"]["kernel"], conv_torch_to_flax(sd["net.1.weight"])
         )
         assert not any(line.startswith("UNMATCHED") for line in report)
+
+
+class TestEnvironmentDriftCanary:
+    """VERDICT r4 item #5: fail loudly when the package leans on
+    deprecated jax API — the environment drifts under the repo (jax
+    0.9.0 deprecated jax.experimental.shard_map mid-round and libtpu
+    broke a kernel on 2026-08-19)."""
+
+    def test_no_deprecated_jax_imports_in_source(self):
+        """Source-level: the only jax.experimental surface the package
+        may touch is pallas (the canonical kernel import path)."""
+        import pathlib
+        import re
+
+        import saguaro_tpu
+
+        root = pathlib.Path(saguaro_tpu.__file__).parent
+        offenders = []
+        for p in root.rglob("*.py"):
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                for m in re.finditer(r"jax\.experimental(\.\w+)?", line):
+                    mod = m.group(1) or ""
+                    if mod not in (".pallas",) and "import pallas" not in line:
+                        offenders.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+        assert not offenders, "\n".join(offenders)
+
+    def test_package_imports_clean_of_jax_deprecations(self):
+        """Import every saguaro_tpu module in a FRESH interpreter and
+        fail on any jax DeprecationWarning (module caching makes an
+        in-process check a no-op mid-suite)."""
+        import subprocess
+        import sys
+
+        prog = (
+            "import warnings, pkgutil, importlib\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "assert hasattr(jax, 'shard_map')\n"
+            "import saguaro_tpu\n"
+            "with warnings.catch_warnings(record=True) as w:\n"
+            "    warnings.simplefilter('always')\n"
+            "    for m in pkgutil.walk_packages(saguaro_tpu.__path__, 'saguaro_tpu.'):\n"
+            "        importlib.import_module(m.name)\n"
+            "bad = [str(x.message) for x in w\n"
+            "       if issubclass(x.category, DeprecationWarning)\n"
+            "       and 'jax' in str(x.message).lower()]\n"
+            "assert not bad, bad\n"
+            "print('CANARY_OK')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True, timeout=300
+        )
+        assert r.returncode == 0 and "CANARY_OK" in r.stdout, r.stdout + r.stderr

@@ -180,15 +180,13 @@ class TestLaneScanDispatch:
             np.asarray, fused_object_features(img_j, lab_j, 8)
         )
         monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
-        # separate trace (env is read at trace time): different max_cells
-        # would dodge the jit cache, but same args must retrace too —
-        # clear the cache to be sure the dispatch branch is re-evaluated
-        fused_object_features.clear_cache()
+        # the dispatch mode is now an explicit STATIC cache key (resolved
+        # eagerly and pinned via dispatch_override) — no cache clearing
+        # needed for the flip to take effect
         got = jax.tree.map(
             np.asarray, fused_object_features(img_j, lab_j, 8)
         )
         monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
-        fused_object_features.clear_cache()
 
         flat_ref, tree_ref = jax.tree.flatten(ref)
         flat_got, tree_got = jax.tree.flatten(got)
@@ -209,10 +207,9 @@ class TestEdtSweep:
         lab = jnp.asarray(labels)
         ref = np.asarray(_label_edt_sq(lab, 16))
         monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
-        _label_edt_sq.clear_cache()
+        # dispatch mode rides the static key now — no cache clearing
         got = np.asarray(_label_edt_sq(lab, 16))
         monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
-        _label_edt_sq.clear_cache()
         np.testing.assert_array_equal(got, ref)
 
     def test_vmapped_batch(self, monkeypatch):
@@ -224,10 +221,8 @@ class TestEdtSweep:
         lab = jnp.asarray(labels)
         ref = np.stack([np.asarray(_label_edt_sq(l, 8)) for l in lab])
         monkeypatch.setenv("SAGUARO_FORCE_PALLAS", "1")
-        _label_edt_sq.clear_cache()
         got = np.asarray(jax.vmap(lambda l: _label_edt_sq(l, 8))(lab))
         monkeypatch.delenv("SAGUARO_FORCE_PALLAS")
-        _label_edt_sq.clear_cache()
         np.testing.assert_array_equal(got, ref)
 
 

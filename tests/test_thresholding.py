@@ -11,6 +11,7 @@ import pytest
 import jax.numpy as jnp
 
 from saguaro_tpu.kernels.thresholding import (
+    adaptive_threshold,
     global_threshold,
     smooth_for_binarize,
 )
@@ -125,6 +126,128 @@ class TestGlobalThreshold:
         assert float(final) == pytest.approx(
             min(float(orig) * 1.5, 1000.0), rel=1e-6
         )
+
+
+def np_adaptive(
+    image, method="otsu", window=32, correction=1.0,
+    lower=0.0, upper=3.0e38, log=False, li_tol=0.5,
+):
+    """CP 4.2.8 adaptive-scope oracle (threshold.py get_local_threshold):
+    int-truncated block grid, per-block global method, block-constant
+    map, [0.7, 1.5] x corrected-guide clip, then range clip."""
+    h, w = image.shape
+    nb_i, nb_j = h // window, w // window
+    assert nb_i >= 2 and nb_j >= 2
+    data = np.log1p(image) if log else image.astype(np.float64)
+
+    def one(block):
+        if block.max() <= block.min():
+            return float(block.min())
+        if method == "otsu":
+            return np_otsu(block)
+        if method == "li":
+            tol = np.log1p(li_tol) * 0.5 + 1e-6 if log else li_tol
+            return np_li(block, tol)
+        raise AssertionError(method)
+
+    guide = one(data)
+    orig = np.zeros((h, w))
+    inc_i, inc_j = h / nb_i, w / nb_j
+    for i in range(nb_i):
+        i0, i1 = int(i * inc_i), int((i + 1) * inc_i)
+        for j in range(nb_j):
+            j0, j1 = int(j * inc_j), int((j + 1) * inc_j)
+            orig[i0:i1, j0:j1] = one(data[i0:i1, j0:j1])
+    if log:
+        guide, orig = np.expm1(guide), np.expm1(orig)
+    gc = guide * correction
+    final = np.clip(np.clip(orig * correction, 0.7 * gc, 1.5 * gc), lower, upper)
+    return final, orig
+
+
+class TestAdaptiveThreshold:
+    def test_otsu_blocks_match_oracle(self, bimodal):
+        # tile a gradient onto the bimodal field so blocks genuinely differ
+        img = bimodal + np.linspace(0, 800, bimodal.shape[1])[None, :].astype(
+            np.float32
+        )
+        final, guide, orig = adaptive_threshold(
+            jnp.asarray(img), method="otsu", window_size=24
+        )
+        ref_final, ref_orig = np_adaptive(img, method="otsu", window=24)
+        tol = (img.max() - img.min()) / 128  # half-ish bin width per block
+        assert np.max(np.abs(np.asarray(orig) - ref_orig)) < tol
+        assert np.max(np.abs(np.asarray(final) - ref_final)) < tol
+        # the map is block-constant: the number of distinct values is
+        # bounded by the block count
+        assert len(np.unique(np.asarray(orig))) <= (90 // 24) * (70 // 24)
+
+    def test_guide_clip_engages(self):
+        """A uniformly bright block otsus near its own midpoint, far above
+        the global guide (which splits just above the dark bulk); the CP
+        [0.7, 1.5] x guide clip must pull it back."""
+        rng = np.random.default_rng(5)
+        img = rng.normal(500, 50, (64, 64)).astype(np.float32)
+        img[:16, :16] = rng.normal(2500, 250, (16, 16))  # one bright block
+        final, guide, orig = adaptive_threshold(
+            jnp.asarray(img), method="otsu", window_size=16
+        )
+        g = float(guide)
+        assert np.all(np.asarray(final) >= 0.7 * g - 1e-3)
+        assert np.all(np.asarray(final) <= 1.5 * g + 1e-3)
+        # and the bright block's raw value really was above the clip
+        assert np.asarray(orig)[0, 0] > 1.5 * g
+
+    def test_li_adaptive_matches_oracle(self):
+        rng = np.random.default_rng(6)
+        img = np.concatenate(
+            [
+                rng.normal(300, 30, (48, 24)),
+                rng.normal(1500, 150, (48, 24)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        img[10:20, 4:14] += 4000
+        img[30:44, 28:44] += 2500
+        final, guide, orig = adaptive_threshold(
+            jnp.asarray(img), method="li", window_size=16, li_tolerance=0.5
+        )
+        ref_final, ref_orig = np_adaptive(img, method="li", window=16)
+        np.testing.assert_allclose(np.asarray(orig), ref_orig, atol=2.5)
+        np.testing.assert_allclose(np.asarray(final), ref_final, atol=2.5)
+
+    def test_window_over_half_raises(self, bimodal):
+        with pytest.raises(ValueError, match="50%"):
+            adaptive_threshold(jnp.asarray(bimodal), window_size=60)
+
+    def test_pipeline_adaptive_scope(self):
+        from saguaro_tpu.pipeline.features import FeatureConfig, measure_site
+
+        rng = np.random.default_rng(7)
+        lab = np.zeros((64, 64), np.int32)
+        lab[12:28, 12:28] = 1
+        img = rng.integers(100, 600, (64, 64, 2)).astype(np.uint16)
+        img[8:36, 8:36, 1] += 2000
+        cfg = FeatureConfig(
+            channels=("DNA", "ER"), max_cells=8,
+            measure_zernike=False, measure_moments=False,
+            measure_convex=False, measure_radius=False,
+            measure_colocalization=False, measure_texture=False,
+            secondary_iterations=6,
+            secondary_threshold_scope="adaptive",
+            secondary_adaptive_window=16,
+        )
+        tables = measure_site(img, lab, cfg)
+        row = tables["Image"].iloc[0]
+        assert np.isfinite(row["Threshold_FinalThreshold_Cells"])
+        assert np.isfinite(row["Threshold_OrigThreshold_Cells"])
+        assert len(tables["Cells"]) >= 1
+
+    def test_bad_scope_rejected_at_config(self):
+        from saguaro_tpu.pipeline.features import FeatureConfig
+
+        with pytest.raises(ValueError, match="secondary_threshold_scope"):
+            FeatureConfig(channels=("DNA",), secondary_threshold_scope="block")
 
 
 class TestSmoothing:
