@@ -76,6 +76,12 @@ def main():
         "-neighbors": dict(measure_neighbors=False),
         "-convex-radius": dict(measure_convex=False, measure_radius=False),
         "-propagation": dict(secondary_method="distance"),
+        # r5 parity additions (VERDICT r4 item #8): their in-program cost
+        "-coloc": dict(measure_colocalization=False),
+        "-radial-cp": dict(radial_binning="centroid"),
+        "+costes-fine": dict(costes_fine_scale=65535),
+        "+adaptive-thr": dict(secondary_threshold_scope="adaptive"),
+        "+convex144": dict(convex_dirs=144),
     }
     for name, kw in toggles.items():
         if not want(name):
