@@ -44,10 +44,21 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["center_race", "center_race_scan", "cp_ring_wedge"]
 
-_BIG = jnp.float32(3.4e38)
+# np (NOT jnp): this module is imported lazily from inside jitted
+# measurement traces (pipeline/features._measure_all), and a module-level
+# jnp value then materializes under the ACTIVE trace as a JitTracer that
+# lives in this global forever. Every later trace closes over the leaked
+# tracer, jax 0.9 hoists it into an executable parameter the C++ pjit
+# fastpath never supplies, and same-shape re-dispatch dies with
+# "Execution supplied 2 buffers but compiled program expected 5"
+# (VERDICT r4 weak #1 — the true root cause; the dispatch-mode keying was
+# necessary but not sufficient). numpy scalars are always safe: they are
+# baked into the jaxpr as literals.
+_BIG = np.float32(3.4e38)
 
 
 def _shifted(a: jax.Array, dy: int, dx: int, fill) -> jax.Array:

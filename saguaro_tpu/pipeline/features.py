@@ -494,7 +494,7 @@ def _measure_all(image: jax.Array, nuclei: jax.Array, cfg: FeatureConfig):
         # one sort serves all three quantiles; MAD needs a second
         # (value-dependent) sort — the profile showed 240 ms/batch of
         # sort time from per-statistic calls
-        q25, med, q75 = jnp.percentile(ch_img, jnp.asarray([25.0, 50.0, 75.0]))
+        q25, med, q75 = jnp.percentile(ch_img, np.asarray([25.0, 50.0, 75.0]))
         vmax_img = jnp.max(ch_img)
         out["image"][f"Intensity_MeanIntensity_{ch_name}"] = jnp.mean(ch_img)
         out["image"][f"Intensity_TotalIntensity_{ch_name}"] = jnp.sum(ch_img)

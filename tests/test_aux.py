@@ -227,3 +227,39 @@ class TestEnvironmentDriftCanary:
             [sys.executable, "-c", prog], capture_output=True, text=True, timeout=300
         )
         assert r.returncode == 0 and "CANARY_OK" in r.stdout, r.stdout + r.stderr
+
+    def test_no_module_level_jax_values(self):
+        """No saguaro_tpu module may hold a jax.Array or Tracer in a
+        module-level global. Measurement kernels are imported LAZILY from
+        inside jitted traces, so a module-level ``jnp.<...>`` value
+        materializes under the ACTIVE trace as a JitTracer that the
+        global then leaks into every later trace; jax 0.9 hoists such
+        captured values into executable parameters the C++ pjit fastpath
+        never supplies, and same-shape re-dispatch dies with "Execution
+        supplied 2 buffers but compiled program expected 5" (the r4/r5
+        red-suite root cause: kernels/radial._BIG). Module constants must
+        be numpy — always baked into the jaxpr as literals."""
+        import importlib
+        import pkgutil
+
+        import jax
+        import saguaro_tpu
+
+        offenders = []
+        for m in pkgutil.walk_packages(saguaro_tpu.__path__, "saguaro_tpu."):
+            mod = importlib.import_module(m.name)
+            for name, val in vars(mod).items():
+                vals = (
+                    list(val)
+                    if isinstance(val, (tuple, list)) and len(val) <= 64
+                    else [val]
+                )
+                for v in vals:
+                    if isinstance(v, (jax.Array, jax.core.Tracer)):
+                        offenders.append(
+                            f"{m.name}.{name}: {type(v).__name__}"
+                        )
+        assert not offenders, (
+            "module-level jax values (trace-leak hazard):\n"
+            + "\n".join(offenders)
+        )
