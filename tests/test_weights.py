@@ -538,9 +538,44 @@ class TestFullScaleEffNetL:
     params, random weights) -> convert_effnet_state_dict -> BN fold +
     gray-stem fold -> one embed chunk through the engine — exercised at
     full scale, not just tiny configs (Cellpose_GPU_s3fs.py:27,109-110).
+
+    Runs in a FRESH SUBPROCESS: after ~290 suite tests in one process,
+    XLA:CPU deterministically SEGFAULTS compiling the full-L
+    fold_batchnorm program (jax 0.9.0, 2026-08-20 — faulthandler points
+    into backend_compile_and_load; the identical test passes in a fresh
+    interpreter, so the crash is accumulated in-process compiler/cache
+    state, not this code). Subprocess isolation keeps the one-command
+    suite green AND keeps the dress rehearsal at full scale.
     """
 
     def test_full_l_convert_fold_embed(self, rng):
+        import os
+        import subprocess
+        import sys
+
+        if os.environ.get("SAGUARO_FULL_L_INNER") != "1":
+            env = dict(os.environ, SAGUARO_FULL_L_INNER="1")
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "-m",
+                    "pytest",
+                    "-q",
+                    "-p",
+                    "no:cacheprovider",
+                    f"{__file__}::TestFullScaleEffNetL::test_full_l_convert_fold_embed",
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            assert r.returncode == 0, (
+                f"full-L dress rehearsal failed in subprocess "
+                f"(rc={r.returncode}):\n{r.stdout[-4000:]}\n{r.stderr[-2000:]}"
+            )
+            return
+
         import jax
 
         from saguaro_tpu.models.effnetv2 import EFFNETV2_L, EffNetV2
