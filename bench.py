@@ -292,7 +292,11 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    if os.environ.get("BENCH_PIPELINE", "") == "1":
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        # DEFAULT ON since r5 (BENCH_PIPELINE=0 disables): measured A/B
+        # 2026-08-21 — pipelined 1.989 vs stage-sum 2.218 s/site at the
+        # 5-ch op point (ship hides under compute, exactly like the
+        # production drivers); headline 4.33 -> 4.71 plates/hour/chip.
         # Steady-state PIPELINED batches — the production drivers' shape:
         # run_pipeline ships batch k+1's raw uint16 asynchronously under
         # batch k's compute (pipeline/segment_embed.py), and the feature
