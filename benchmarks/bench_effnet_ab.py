@@ -1,11 +1,13 @@
-"""A/B the full EffNetV2-L forward: XLA grouped-conv dw vs Pallas dw.
+"""A/B the full EffNetV2-L forward: XLA grouped-conv dw vs taps dw.
 
-The integrated bench regressed embed 1.125 -> 2.81 s/site with the
-Pallas depthwise in the model, far beyond the kernel-level delta
-(standalone sweeps: Pallas ~4-9 ms/call vs XLA's in-model ~6.5 ms
-average). Hypothesis: the Pallas custom-call boundaries change XLA's
-layout/fusion choices for the surrounding 1x1 convs. This times the
-whole folded-BN L forward at the production chunk shape both ways.
+The Pallas depthwise and whole-block MBConv arms were PRUNED in r5
+(the integrated dw-Pallas model regressed embed 1.125 -> 2.81 s/site —
+custom-call boundaries break XLA's layout/fusion choices around the
+surrounding 1x1 convs; kernels in git history at tag pre-r5-prune). The surviving
+question is XLA's grouped-conv lowering vs the pure-XLA 9-shifted-
+multiply-add formulation (SAGUARO_DW_TAPS=1), which stays inside the
+fusion domain. Times the whole folded-BN L forward at the production
+chunk shape both ways.
 
     python benchmarks/bench_effnet_ab.py
 """
@@ -45,12 +47,10 @@ def main():
 
     ref = None
     for name, env in [
-        ("xla", {}),
-        ("mbconv", {"SAGUARO_MBCONV_PALLAS": "1"}),
+        ("xla", {}),  # pallas/mbconv arms pruned r5 (BENCH.md)
         ("taps", {"SAGUARO_DW_TAPS": "1"}),
-        ("pallas", {"SAGUARO_DW_PALLAS": "1"}),
     ]:
-        for k in ("SAGUARO_DW_PALLAS", "SAGUARO_DW_TAPS", "SAGUARO_MBCONV_PALLAS"):
+        for k in ("SAGUARO_DW_TAPS",):
             os.environ.pop(k, None)
         os.environ.update(env)
         f = jax.jit(lambda v, x: model.apply(v, x))
@@ -78,8 +78,7 @@ def main():
             flush=True,
         )
         jax.clear_caches()
-    for k in ("SAGUARO_DW_PALLAS", "SAGUARO_DW_TAPS", "SAGUARO_MBCONV_PALLAS"):
-        os.environ.pop(k, None)
+    os.environ.pop("SAGUARO_DW_TAPS", None)
 
 
 if __name__ == "__main__":

@@ -145,8 +145,8 @@ class _SE(nn.Module):
 
     @nn.compact
     def __call__(self, x, mean=None):
-        # ``mean``: precomputed (N, 1, 1, C) squeeze input — the Pallas
-        # depthwise kernel emits it for free (one HBM pass saved)
+        # ``mean``: optionally precomputed (N, 1, 1, C) squeeze input
+        # (a fused depthwise formulation can emit it for free)
         if mean is None:
             mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
         s = nn.Conv(self.se_filters, (1, 1), dtype=jnp.float32)(mean)
@@ -163,17 +163,14 @@ class _DepthwiseSiluConv(nn.Module):
     module name, shapes/init matching nn.Conv), so ``fold_batchnorm``
     trees apply unchanged.
 
-    The Pallas kernel (kernels/depthwise_pallas) is OPT-IN via
-    ``SAGUARO_DW_PALLAS=1`` (or ``SAGUARO_FORCE_PALLAS`` for CPU
-    interpreter tests): the device profile that motivated it showed
-    XLA's grouped-conv lowering holding 44% of the embed device time at
-    ~10x off the HBM roofline, and the standalone kernel beats that —
-    but the INTEGRATED model regressed embed 1.125 -> 2.81 s/site
-    (BENCH.md r3 handoff): the custom-call boundaries break XLA's
-    layout/fusion choices around the 57 dispatch sites. Until a whole-
-    model A/B shows a win, the default path stays the XLA grouped conv.
-    Returns (y, se_mean) where se_mean is (N, 1, 1, C) f32 from the
-    kernel, or None when the XLA path ran (SE recomputes the mean)."""
+    A VMEM-resident Pallas depthwise kernel (+SE-mean fusion) was built
+    and PRUNED in r5: standalone it beat XLA's grouped-conv lowering
+    (4-9 vs ~6.5 ms/call), but the INTEGRATED model regressed embed
+    1.125 -> 2.81 s/site — the custom-call boundaries break XLA's
+    layout/fusion choices around the 57 dispatch sites (BENCH.md r3
+    handoff; kernel in git history at tag pre-r5-prune if ever revisited).
+    Returns (y, se_mean) where se_mean is (N, 1, 1, C) f32 when a fused
+    formulation provides it, or None (SE recomputes the mean)."""
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -191,23 +188,12 @@ class _DepthwiseSiluConv(nn.Module):
         )
         import os
 
-        from saguaro_tpu.kernels.segment_pallas import use_pallas
-
-        opted_in = os.environ.get("SAGUARO_DW_PALLAS") or os.environ.get(
-            "SAGUARO_FORCE_PALLAS"
-        )
-        if self.dtype == jnp.bfloat16 and opted_in and use_pallas():
-            from saguaro_tpu.kernels.depthwise_pallas import dw3x3_silu
-
-            y, s = dw3x3_silu(x.astype(jnp.bfloat16), kernel, bias)
-            return y, s[:, None, None, :]
         if os.environ.get("SAGUARO_DW_TAPS"):
             # pure-XLA formulation of the same math: 9 shifted
             # multiply-adds on the zero-padded input, f32 accumulation,
-            # one bf16 round (mirrors the Pallas kernel's numerics but
-            # stays inside XLA's fusion domain — no custom-call
-            # boundaries; A/B'd vs the grouped-conv lowering by
-            # benchmarks/bench_effnet_ab.py)
+            # one bf16 round (stays inside XLA's fusion domain — no
+            # custom-call boundaries; A/B'd vs the grouped-conv
+            # lowering by benchmarks/bench_effnet_ab.py)
             n, h, ww, c = x.shape
             xp = jnp.pad(
                 x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0))
@@ -257,61 +243,14 @@ class _FusedMBConv(nn.Module):
         return h
 
 
-class _ConvParams(nn.Module):
-    """Parameter-only stand-in for an nn.Conv: declares the same
-    ``kernel``/``bias`` (same shapes, init, f32 param dtype) without
-    running the conv — lets the fused-MBConv branch consume the exact
-    variable tree the per-op branch creates (give it the same name)."""
-
-    kshape: tuple
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), self.kshape, jnp.float32
-        )
-        b = self.param(
-            "bias", nn.initializers.zeros, (self.kshape[-1],), jnp.float32
-        )
-        return k, b
-
-
-class _ConvScopeParams(nn.Module):
-    """_ConvParams nested one level down as "Conv_0" (a _ConvBNAct's tree)."""
-
-    kshape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return _ConvParams(self.kshape, name="Conv_0")()
-
-
-class _SEParams(nn.Module):
-    """Parameter tree of _SE (Conv_0: squeeze, Conv_1: excite)."""
-
-    cmid: int
-    cse: int
-
-    @nn.compact
-    def __call__(self):
-        a = _ConvParams((1, 1, self.cmid, self.cse), name="Conv_0")()
-        b = _ConvParams((1, 1, self.cse, self.cmid), name="Conv_1")()
-        return a, b
-
-
-def _mbconv_fused_on() -> bool:
-    """Opt-in gate for the fully-fused MBConv Pallas block
-    (kernels/mbconv_pallas): ``SAGUARO_MBCONV_PALLAS=1``, honoring the
-    global ``SAGUARO_NO_PALLAS`` escape. Deliberately NOT keyed to
-    SAGUARO_FORCE_PALLAS so existing dispatch tests keep their paths."""
-    import os
-
-    return bool(os.environ.get("SAGUARO_MBCONV_PALLAS")) and not os.environ.get(
-        "SAGUARO_NO_PALLAS"
-    )
-
-
 class _MBConv(nn.Module):
+    # A whole-block VMEM-resident Pallas MBConv (expand 1x1 + dw 3x3 +
+    # SE + project 1x1 in one HBM pass) was built in r4 and PRUNED in
+    # r5: its integrated A/B never cleared the bar (the dw-only variant
+    # measured 2.81 vs 1.125 s/site embed — custom-call boundaries cost
+    # more than the fusion saves; BENCH.md r3 handoff). Kernel + param
+    # shims live in git history (tag pre-r5-prune) if embed's XLA conv ceiling
+    # ever justifies revisiting.
     spec: StageSpec
     stride: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -321,31 +260,8 @@ class _MBConv(nn.Module):
     def __call__(self, x):
         inp = x.shape[-1]
         mid = inp * self.spec.expand
-        if (
-            self.fold_bn
-            and self.stride == 1
-            and self.spec.kernel == 3
-            and self.spec.se_ratio > 0
-            and self.dtype == jnp.bfloat16
-            and _mbconv_fused_on()
-        ):
-            # whole block in one VMEM-resident Pallas program; the
-            # param tree matches the per-op branch below exactly
-            we, be = _ConvScopeParams((1, 1, inp, mid), name="_ConvBNAct_0")()
-            wd, bd = _ConvParams((3, 3, 1, mid), name="Conv_0")()
-            (w1, b1), (w2, b2) = _SEParams(
-                mid, max(1, int(inp * self.spec.se_ratio)), name="_SE_0"
-            )()
-            wp, bp = _ConvScopeParams(
-                (1, 1, mid, self.spec.filters), name="_ConvBNAct_1"
-            )()
-            from saguaro_tpu.kernels.mbconv_pallas import mbconv_fused
-
-            return mbconv_fused(
-                x.astype(self.dtype), we, be, wd, bd, w1, b1, w2, b2, wp, bp
-            )
         h = _ConvBNAct(mid, 1, 1, dtype=self.dtype, fold_bn=self.fold_bn)(x)
-        # depthwise: folded-BN stride-1 3x3 goes through the Pallas-backed
+        # depthwise: folded-BN stride-1 3x3 goes through the dispatching
         # module (same "Conv_0" param tree); stride-2 / unfolded keep the
         # XLA grouped conv (2 of EffNetV2-L's 61 MBConvs are stride-2)
         se_mean = None
